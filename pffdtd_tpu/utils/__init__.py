@@ -1,0 +1,87 @@
+"""Small shared helpers (index math, rotations, wav IO).
+
+Functional parity targets: /root/reference/python/common/myfuncs.py
+(ind2sub3d:158-162, rel_diff:164-165, rotation matrices:31-82, wav IO:261-271).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def iceil(x) -> np.int_:
+    return np.int_(np.ceil(x))
+
+
+def iround(x) -> np.int_:
+    return np.int_(np.round(x))
+
+
+def ind2sub3d(ii, Nx, Ny, Nz):
+    """Linear index -> (ix, iy, iz) with z contiguous (row-major x,y,z)."""
+    ii = np.asarray(ii)
+    iz = ii % Nz
+    iy = (ii // Nz) % Ny
+    ix = ii // (Ny * Nz)
+    return ix, iy, iz
+
+
+def sub2ind3d(ix, iy, iz, Nx, Ny, Nz):
+    """(ix, iy, iz) -> linear index with z contiguous."""
+    return (np.asarray(ix) * Ny + np.asarray(iy)) * Nz + np.asarray(iz)
+
+
+def rel_diff(x0, x1):
+    """Difference normalised to the binary exponent of x0 (machine-eps units)."""
+    return (x0 - x1) / (2.0 ** np.floor(np.log2(np.abs(x0))))
+
+
+def dotv(v1, v2):
+    """Row-wise dot product over the last axis."""
+    return np.sum(v1 * v2, axis=-1)
+
+
+def vecnorm(v):
+    return np.sqrt(dotv(v, v))
+
+
+def normalise(v, eps=np.finfo(np.float64).eps):
+    return (np.asarray(v).T / (vecnorm(v) + eps)).T
+
+
+def rotate_xyz_deg(thx_d, thy_d, thz_d):
+    """Rotation matrix applying Rz, then Ry, then Rx (right-hand rule)."""
+    thx, thy, thz = np.deg2rad([thx_d, thy_d, thz_d])
+    Rx = np.array([[1, 0, 0],
+                   [0, np.cos(thx), -np.sin(thx)],
+                   [0, np.sin(thx), np.cos(thx)]])
+    Ry = np.array([[np.cos(thy), 0, np.sin(thy)],
+                   [0, 1, 0],
+                   [-np.sin(thy), 0, np.cos(thy)]])
+    Rz = np.array([[np.cos(thz), -np.sin(thz), 0],
+                   [np.sin(thz), np.cos(thz), 0],
+                   [0, 0, 1]])
+    return Rx @ Ry @ Rz, Rx, Ry, Rz
+
+
+def rotate_az_el_deg(az_d, el_d):
+    """Azimuth (about z) after elevation (about -y); matlab-style convention."""
+    _, _, Ry, Rz = rotate_xyz_deg(0.0, -el_d, az_d)
+    return Rz @ Ry, Rz, Ry
+
+
+def wavwrite(fname, sr: int, data):
+    """Write float32 WAV; data is (Nchannels, Nsamples) or (Nsamples,)."""
+    import scipy.io.wavfile
+
+    data = np.atleast_2d(data)
+    scipy.io.wavfile.write(fname, int(sr), np.float32(data.T))
+
+
+def wavread(fname):
+    import scipy.io.wavfile
+
+    sr, data = scipy.io.wavfile.read(fname)
+    if data.dtype == np.int16:
+        data = data / 32768.0
+    return float(sr), np.float64(data.T)
