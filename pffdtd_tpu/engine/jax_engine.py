@@ -1,0 +1,433 @@
+"""The TPU engine: a single jitted leapfrog timestep over HBM-resident grids.
+
+TPU-first design (NOT a port of the reference kernel zoo):
+
+- The air update is a dense, branch-free 7/13-point stencil over the whole
+  interior — shifted-slice adds that XLA fuses into one memory-bound loop
+  (12 B/voxel fp32, the same traffic as the reference CUDA kernel,
+  gpu_engine.h:220-274).
+- Rigid boundary nodes are handled by a sparse *correction*: for the Nb
+  boundary nodes (<<Npts), delta = sl2*ncut*u1 - a2*sum(cut-leg neighbours)
+  turns the full stencil into the adjacency-masked one
+  (algebraically identical to cpu_engine.h:234-287).
+- Frequency-dependent impedance boundaries run as (Nbl, MMb) vectorised ODE
+  branches between a gather and a scatter (cpu_engine.h:362-405 semantics).
+- ABCs are dense face/edge/corner slice updates with uniform Q per region —
+  no sparse ABC node lists at all (semantics of sim_fdtd.py:807-813).
+- The whole run is one `lax.scan`: source samples stream in as scan inputs,
+  receiver samples accumulate on-device as scan outputs — zero host syncs
+  inside the loop (the reference does a D2H readout every step,
+  gpu_engine.h:1058-1075).
+- fp32 stability uses the (1+EPS) diagonal shift of fdtd_data.h:186-194
+  (configurable; the reference's round-toward-zero intrinsics have no XLA
+  equivalent — the EPS eigenvalue margin is the load-bearing safeguard) plus
+  the same mid-exponent input scaling (fdtd_data.h:878-925).
+
+Energy accounting (the machine-precision oracle, sim_fdtd.py:587-620) is
+available as an on-device variant of the step that materialises the Laplacian
+and carries the accumulators through the scan.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pffdtd_tpu.engine.coeffs import FP32_EPS, MatCoeffs, SchemeCoeffs
+from pffdtd_tpu.engine.numpy_ref import abc_q_grid
+from pffdtd_tpu.io.h5 import MMb, SimFolder
+from pffdtd_tpu.voxelizer.vox import CART_VECTORS, FCC_VECTORS
+
+
+# --------------------------------------------------------------------- prep
+@dataclass
+class GridSpec:
+    """Static geometry of the (possibly z-padded) grid."""
+
+    Nx: int
+    Ny: int
+    Nz: int      # true z extent
+    Nzp: int     # padded z extent (lane-aligned on TPU)
+    fcc_flag: int
+
+    @property
+    def shape(self):
+        return (self.Nx, self.Ny, self.Nzp)
+
+    @property
+    def folded(self):
+        return self.fcc_flag == 2
+
+
+def _remap_indices(ixyz, Ny, Nz, Nzp):
+    """Linear indices from the file layout (z extent Nz) to padded layout."""
+    ixyz = np.asarray(ixyz, np.int64)
+    iz = ixyz % Nz
+    iy = (ixyz // Nz) % Ny
+    ix = ixyz // (Ny * Nz)
+    return (ix * Ny + iy) * Nzp + iz
+
+
+class EngineData:
+    """Host-side preparation of all static arrays the step function needs."""
+
+    def __init__(self, consts, vox, comms, mats, dtype=np.float32,
+                 pad_z: int | None = 128, fp32_eps: float | None = None):
+        self.dtype = np.dtype(dtype)
+        if fp32_eps is None:
+            fp32_eps = FP32_EPS if self.dtype == np.float32 else 0.0
+        self.fcc = consts.fcc_flag > 0
+        self.sc = SchemeCoeffs.make(consts.l, consts.l2, self.fcc, eps=fp32_eps)
+        self.mc = MatCoeffs.from_mats(mats, consts.Ts)
+        self.consts = consts
+
+        Nx, Ny, Nz = vox.Nx, vox.Ny, vox.Nz
+        Nzp = Nz
+        if pad_z:
+            Nzp = int(-(-Nz // pad_z) * pad_z)
+        self.grid = GridSpec(Nx=Nx, Ny=Ny, Nz=Nz, Nzp=Nzp,
+                             fcc_flag=int(consts.fcc_flag))
+
+        VV = (FCC_VECTORS if self.fcc else CART_VECTORS).astype(np.int64)
+        self.NN = VV.shape[0]
+        strides = VV @ np.array([Ny * Nzp, Nzp, 1])
+
+        # rigid-boundary correction data: neighbour indices + cut masks
+        bn = _remap_indices(vox.bn_ixyz, Ny, Nz, Nzp)
+        cut = ~vox.adj_bn  # (Nb, NN)
+        self.bn_ixyz = bn
+        self.bn_nbr = bn[:, None] + strides[None, :]
+        self.bn_cut = cut.astype(self.dtype)
+        self.bn_ncut = cut.sum(-1).astype(self.dtype)
+        self.Nb = int(bn.size)
+
+        # lossy boundary subset
+        lossy = vox.mat_bn > -1
+        self.Nbl = int(lossy.sum())
+        self.bnl_ixyz = _remap_indices(vox.bn_ixyz[lossy], Ny, Nz, Nzp)
+        saf = vox.saf_bn[lossy]
+        ssaf = saf * (0.5 / np.sqrt(2.0)) if self.fcc else saf
+        self.ssaf_bnl = ssaf.astype(self.dtype)
+        rows = self.mc.gather(vox.mat_bn[lossy])
+        self.mat_rows = {k: rows[k].astype(self.dtype)
+                         for k in ("b", "bd", "bDh", "bFh", "beta")}
+        self.mat_rows_f64 = {k: rows[k] for k in ("D", "E", "F")}
+
+        # sources / receivers
+        self.in_ixyz = _remap_indices(comms.in_ixyz, Ny, Nz, Nzp)
+        self.out_ixyz = _remap_indices(comms.out_ixyz, Ny, Nz, Nzp)
+        self.in_sigs = np.asarray(comms.in_sigs, np.float64)  # (Ns, Nt)
+        self.Nt = int(comms.Nt)
+        self.out_reorder = comms.out_reorder
+
+        # input scaling to the middle of the floating-point exponent range
+        # (fdtd_data.h:878-909); applied for fp32, identity for fp64
+        if self.dtype == np.float32:
+            max_in = np.abs(self.in_sigs).max()
+            pow2 = int(round(0.5 * (np.finfo(np.float32).maxexp
+                                    + np.finfo(np.float32).minexp)))
+            self.infac = max_in / 2.0 ** pow2 if max_in > 0 else 1.0
+        else:
+            self.infac = 1.0
+
+    @classmethod
+    def from_folder(cls, folder, **kw) -> "EngineData":
+        sf = SimFolder(folder)
+        return cls(sf.consts, sf.vox, sf.comms, sf.mats, **kw)
+
+
+# --------------------------------------------------------------------- step
+def _flip_halos(u, g: GridSpec):
+    """Mirror the outermost layers (ABC ghost feed) + FCC fold ghost row."""
+    Nz = g.Nz
+    u = u.at[:, :, 0].set(u[:, :, 2])
+    u = u.at[:, :, Nz - 1].set(u[:, :, Nz - 3])
+    u = u.at[:, 0, :].set(u[:, 2, :])
+    if g.folded:
+        u = u.at[:, g.Ny - 1, :].set(u[:, g.Ny - 2, :])
+    else:
+        u = u.at[:, g.Ny - 1, :].set(u[:, g.Ny - 3, :])
+    u = u.at[0, :, :].set(u[2, :, :])
+    u = u.at[g.Nx - 1, :, :].set(u[g.Nx - 3, :, :])
+    return u
+
+
+def _neighbor_sum(u, g: GridSpec, VV):
+    """Sum of u over all stencil neighbours, on the interior region."""
+    Nx, Ny, Nz = g.Nx, g.Ny, g.Nz
+    acc = None
+    for dx, dy, dz in VV:
+        s = u[1 + dx:Nx - 1 + dx, 1 + dy:Ny - 1 + dy, 1 + dz:Nz - 1 + dz]
+        acc = s if acc is None else acc + s
+    return acc
+
+
+def _abc_regions(g: GridSpec):
+    """Disjoint (slices, Q) regions: 6 face interiors, 12 edges, 8 corners.
+
+    With a folded-FCC grid the high-y layer is the fold ghost, not an ABC.
+    """
+    Nx, Ny, Nz = g.Nx, g.Ny, g.Nz
+    lo = {0: 1, 1: 1, 2: 1}
+    hi = {0: Nx - 2, 1: Ny - 2, 2: Nz - 2}
+    ext = {0: [1, Nx - 2], 1: ([1] if g.folded else [1, Ny - 2]),
+           2: [1, Nz - 2]}
+    # "mid" = interior layers that are NOT extreme along that dim; on a folded
+    # grid the only y extreme is y=1, so mid-y runs up to the fold ghost
+    mid = {0: slice(2, Nx - 2),
+           1: slice(2, Ny - 1) if g.folded else slice(2, Ny - 2),
+           2: slice(2, Nz - 2)}
+    regions = []
+    import itertools
+
+    for dims in itertools.chain.from_iterable(
+            itertools.combinations((0, 1, 2), r) for r in (1, 2, 3)):
+        Q = len(dims)
+        choices = [ext[d] if d in dims else [mid[d]] for d in (0, 1, 2)]
+        for combo in itertools.product(*choices):
+            regions.append((tuple(combo), Q))
+    return regions
+
+
+def build_step(data: EngineData, energy: bool = False):
+    """Build the jittable (carry, x) -> (carry, y) step function."""
+    g = data.grid
+    sc = data.sc
+    dtype = data.dtype
+    VV = (FCC_VECTORS if data.fcc else CART_VECTORS).astype(np.int64)
+    interior = (slice(1, g.Nx - 1), slice(1, g.Ny - 1), slice(1, g.Nz - 1))
+
+    a1 = dtype.type(sc.a1)
+    a2 = dtype.type(sc.a2)
+    sl2 = dtype.type(sc.sl2)
+    l2 = dtype.type(sc.l2)
+    l = dtype.type(sc.l)
+    lo2 = dtype.type(sc.lo2)
+    lfac = dtype.type(sc.lfac)
+    Kfull = dtype.type(sc.K)
+
+    bn = jnp.asarray(data.bn_ixyz)
+    bn_nbr = jnp.asarray(data.bn_nbr)
+    bn_cut = jnp.asarray(data.bn_cut)
+    bn_ncut = jnp.asarray(data.bn_ncut)
+    bnl = jnp.asarray(data.bnl_ixyz)
+    ssaf = jnp.asarray(data.ssaf_bnl)
+    mrows = {k: jnp.asarray(v) for k, v in data.mat_rows.items()}
+    in_ixyz = jnp.asarray(data.in_ixyz)
+    out_ixyz = jnp.asarray(data.out_ixyz)
+    abc_regions = _abc_regions(g)
+
+    if energy:
+        # raw DEF rows and constants for the energy functionals (fp64 math)
+        e_D = jnp.asarray(data.mat_rows_f64["D"].astype(dtype))
+        e_E = jnp.asarray(data.mat_rows_f64["E"].astype(dtype))
+        e_F = jnp.asarray(data.mat_rows_f64["F"].astype(dtype))
+        V_fac = dtype.type(2.0 if data.fcc else 1.0)
+        e_h = dtype.type(data.consts.h)
+        e_c = dtype.type(data.consts.c)
+        e_Ts = dtype.type(data.consts.Ts)
+        Qg = abc_q_grid(g.Nx, g.Ny, g.Nz, folded_y=g.folded)
+        if g.Nzp != g.Nz:
+            Qg = np.pad(Qg, ((0, 0), (0, 0), (0, g.Nzp - g.Nz)))
+        e_Q = jnp.asarray(Qg.astype(dtype))
+        e_V = jnp.asarray((2.0 ** -Qg.astype(np.float64)).astype(dtype))
+        e_absmask = jnp.asarray((Qg > 0).astype(dtype))
+
+    def _step_core(u0, u1, vh1, gh1, sig_n):
+        """Shared update; returns (unew, u1f, vh0, gh_new, extras)."""
+        u1f = _flip_halos(u1, g)
+
+        nsum = _neighbor_sum(u1f, g, VV)
+        unew_int = a1 * u1f[interior] - u0[interior] + a2 * nsum
+        unew = u0.at[interior].set(unew_int)
+
+        u1_flat = u1f.reshape(-1)
+        unew_f = unew.reshape(-1)
+
+        if data.Nb:
+            # rigid-boundary correction: remove cut legs, fix the diagonal
+            cut_nbrs = u1_flat[bn_nbr]            # (Nb, NN)
+            cutsum = jnp.sum(bn_cut * cut_nbrs, -1)
+            delta = sl2 * bn_ncut * u1_flat[bn] - a2 * cutsum
+            unew_f = unew_f.at[bn].add(delta)
+
+        vh0 = vh1
+        gh_new = gh1
+        if data.Nbl:
+            u2b = u0.reshape(-1)[bnl]
+            ub = unew_f[bnl]
+            lo2Kbg = lo2 * ssaf * mrows["beta"]
+            ub = ub - l * ssaf * jnp.sum(
+                2.0 * mrows["bDh"] * vh1 - mrows["bFh"] * gh1, -1)
+            ub = (ub + lo2Kbg * u2b) / (1.0 + lo2Kbg)
+            unew_f = unew_f.at[bnl].set(ub)
+            vh0 = (mrows["b"] * (ub - u2b)[:, None] + mrows["bd"] * vh1
+                   - 2.0 * mrows["bFh"] * gh1)
+            gh_new = gh1 + 0.5 * (vh0 + vh1)
+
+        unew = unew_f.reshape(g.shape)
+
+        # ABCs: disjoint uniform-Q regions, fed by pre-update u0 values
+        for sl, Q in abc_regions:
+            lQ = dtype.type(sc.l * Q)
+            unew = unew.at[sl].set((unew[sl] + lQ * u0[sl]) / (1.0 + lQ))
+
+        # source injection / receiver readout
+        unew_f = unew.reshape(-1)
+        unew_f = unew_f.at[in_ixyz].add(sig_n.astype(dtype))
+        unew = unew_f.reshape(g.shape)
+        out_n = u1f.reshape(-1)[out_ixyz]
+        return unew, u1f, vh0, gh_new, out_n
+
+    if not energy:
+
+        def step(carry, sig_n):
+            u0, u1, vh1, gh1 = carry
+            unew, u1f, vh0, gh_new, out_n = _step_core(u0, u1, vh1, gh1, sig_n)
+            return (u1f, unew, vh0, gh_new), out_n
+
+        return step
+
+    def step_energy(carry, sig_n):
+        """Energy-instrumented step: carries L(u^{n-1}) and the accumulators."""
+        u0, u1, vh1, gh1, Lu_prev, E_lost, E_in = carry
+
+        # --- H_tot[n] from u^n (=u1), u^{n-1} (=u0), L u^{n-1} (=Lu_prev)
+        du = (u1 - u0)[interior]
+        core = du * du / l2 - (u1 * Lu_prev)[interior]
+        H = V_fac * 0.5 * e_h * jnp.sum(core)
+        corr = (1.0 - e_V) * ((u1 - u0) ** 2 / l2 - u1 * Lu_prev) * e_absmask
+        H = H - V_fac * 0.5 * e_h * jnp.sum(corr)
+        if data.Nbl:
+            H = H + V_fac * 0.5 * e_c / l2 * jnp.sum(
+                ssaf[:, None] * (vh1 ** 2 * e_D + (e_Ts * gh1) ** 2 * e_F))
+        u2in = u0.reshape(-1)[in_ixyz]
+
+        unew, u1f, vh0, gh_new, out_n = _step_core(u0, u1, vh1, gh1, sig_n)
+
+        # --- store L(u^n) for the next step's H (recomputed to match the
+        # oracle's split formulation: lfac * (nsum - K*u1))
+        nsum = _neighbor_sum(u1f, g, VV)
+        Lu_int = lfac * (nsum - Kfull * u1f[interior])
+        Lu = jnp.zeros(g.shape, dtype).at[interior].set(Lu_int)
+        if data.Nb:
+            # masked Lu = dense Lu + lfac*(ncut*u1 - cut-leg sum)
+            u1_flat = u1f.reshape(-1)
+            cutsum = jnp.sum(bn_cut * u1_flat[bn_nbr], -1)
+            deltaL = lfac * (bn_ncut * u1_flat[bn] - cutsum)
+            Lu = Lu.reshape(-1).at[bn].add(deltaL).reshape(g.shape)
+
+        # --- losses and input energy
+        if data.Nbl:
+            E_lost = E_lost + V_fac * 0.25 * e_h / l * jnp.sum(
+                ssaf[:, None] * ((vh0 + vh1) ** 2 * e_E))
+        E_lost = E_lost + 0.5 * V_fac * e_h / l * jnp.sum(
+            (e_V * e_Q) * (unew - u0) ** 2 * e_absmask)
+        E_in = E_in + (V_fac * e_h / l2) * 0.5 * jnp.sum(
+            (unew.reshape(-1)[in_ixyz] - u2in) * sig_n.astype(dtype))
+
+        return (u1f, unew, vh0, gh_new, Lu, E_lost, E_in), (out_n, H, E_lost, E_in)
+
+    return step_energy
+
+
+# ------------------------------------------------------------------- runner
+class JaxEngine:
+    """Single-device engine: jitted scan over the full simulation.
+
+    For the multi-device slab-decomposed engine see
+    pffdtd_tpu.parallel.sharded_engine.
+    """
+
+    def __init__(self, folder=None, *, consts=None, vox=None, comms=None,
+                 mats=None, dtype=np.float32, energy_on=False,
+                 pad_z: int | None = 128, fp32_eps: float | None = None):
+        if folder is not None:
+            sf = SimFolder(folder)
+            consts, vox, comms, mats = sf.consts, sf.vox, sf.comms, sf.mats
+        self.data = EngineData(consts, vox, comms, mats, dtype=dtype,
+                               pad_z=pad_z, fp32_eps=fp32_eps)
+        self.energy_on = energy_on
+        self._folder = folder
+        self.Nt = self.data.Nt
+        step = build_step(self.data, energy=energy_on)
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def run_scan(carry, sigs_T):
+            return jax.lax.scan(step, carry, sigs_T)
+
+        self._run_scan = run_scan
+
+    def init_carry(self):
+        d = self.data
+        g = d.grid
+        u0 = jnp.zeros(g.shape, d.dtype)
+        u1 = jnp.zeros(g.shape, d.dtype)  # distinct buffers (donation)
+        vh = jnp.zeros((d.Nbl, MMb), d.dtype)
+        gh = jnp.zeros((d.Nbl, MMb), d.dtype)
+        if self.energy_on:
+            return (u0, u1, vh, gh, jnp.zeros(g.shape, d.dtype),
+                    jnp.zeros((), d.dtype), jnp.zeros((), d.dtype))
+        return (u0, u1, vh, gh)
+
+    def run(self, nt: int | None = None, verbose: bool = True):
+        """Run the full simulation; returns u_out (Nr, Nt) in float64."""
+        import time
+
+        d = self.data
+        nt = self.Nt if nt is None else nt
+        sigs = (d.in_sigs[:, :nt] / d.infac).T.astype(d.dtype)  # (Nt, Ns)
+        carry = self.init_carry()
+
+        t0 = time.perf_counter()
+        carry, ys = self._run_scan(carry, jnp.asarray(sigs))
+        ys = jax.tree.map(lambda a: np.asarray(jax.block_until_ready(a)), ys)
+        t1 = time.perf_counter()
+
+        if self.energy_on:
+            out_T, H, E_lost, E_in = ys
+            self.H_tot = np.float64(H) * d.infac ** 2
+            self.E_lost = np.float64(E_lost) * d.infac ** 2
+            self.E_in = np.float64(E_in) * d.infac ** 2
+        else:
+            out_T = ys
+        self.u_out = np.float64(out_T.T) * d.infac
+
+        g = d.grid
+        npts = g.Nx * g.Ny * g.Nz
+        self.elapsed = t1 - t0
+        self.mvps = npts * nt / self.elapsed / 1e6
+        if verbose:
+            print(f"--ENGINE(jax): {nt} steps over {npts / 1e6:.2f} Mvox in "
+                  f"{self.elapsed:.3f}s -> {self.mvps:.1f} MVPS")
+        return self.u_out
+
+    def energy_balance(self):
+        from pffdtd_tpu.utils import rel_diff
+
+        assert self.energy_on
+        # scan outputs are post-step accumulations; H_tot[n] pairs with the
+        # PRE-step accumulations (oracle indexing), hence the shift
+        e_in = np.r_[0.0, self.E_in[:-1]]
+        e_lost = np.r_[0.0, self.E_lost[:-1]]
+        live = e_in > 0
+        return rel_diff((self.H_tot + e_lost)[live], e_in[live])
+
+    def save_outputs(self, folder=None):
+        from pffdtd_tpu.io.h5 import write_outputs
+
+        folder = folder or self._folder
+        write_outputs(folder, self.u_out, self.data.out_reorder)
+
+    def print_last_samples(self, Np=5):
+        ro = self.data.out_reorder
+        for i in range(self.u_out.shape[0]):
+            print(f"--ENGINE(jax): out {i}")
+            for n in range(self.Nt - Np, self.Nt):
+                print(f"--ENGINE(jax): sample {n}: {self.u_out[ro[i], n]:.16e}")
