@@ -71,15 +71,18 @@ def make_source_signal(sig_type: str, Nt: int, Ts: float) -> np.ndarray:
     elif sig_type in ("hann10", "hann20"):
         N = int(sig_type[4:])
         n = np.arange(N)
-        sig[:N] = 0.5 * (1.0 - cos(2 * pi * n / N))
+        full = 0.5 * (1.0 - cos(2 * pi * n / N))
+        sig[:N] = full[:Nt]
     elif sig_type == "dhann30":
         N = 30
         n = np.arange(N)
-        sig[:N] = cos(pi * n / N) * sin(pi * n / N)
+        full = cos(pi * n / N) * sin(pi * n / N)
+        sig[:N] = full[:Nt]
     elif sig_type == "hann5ms":
         N = iceil(5e-3 / Ts)
         n = np.arange(N)
-        sig[:N] = 0.5 * (1.0 - cos(2 * pi * n / N))
+        full = 0.5 * (1.0 - cos(2 * pi * n / N))
+        sig[:N] = full[:Nt]
     else:
         raise ValueError(f"unknown sig_type {sig_type!r}")
     return sig

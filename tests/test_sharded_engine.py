@@ -1,0 +1,91 @@
+"""Sharded engine on a virtual 8-device CPU mesh vs the single-device engine.
+
+The reference's multi-GPU criterion is bitwise-equal outputs across device
+counts (SURVEY.md §4.7); we require exact equality in fp64.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from pffdtd_tpu.engine.jax_engine import JaxEngine
+from pffdtd_tpu.parallel.sharded_engine import ShardedEngine, make_mesh
+from pffdtd_tpu.scene_setup import mats_from_DEF_list, sim_setup_from_room
+
+from conftest import make_shoebox
+
+DEF2 = np.array([[2.0, 5.0, 30.0], [1.0, 10.0, 300.0]])
+
+
+def _setup(fcc=False, h=0.25, **kw):
+    rg = make_shoebox(Lx=3.1, Ly=2.0, Lz=1.7)  # x largest: slab axis
+    md = mats_from_DEF_list([DEF2])
+    return sim_setup_from_room(
+        rg, md, duration=0.02, insig_type="hann10", h=h, fcc_flag=fcc,
+        vox_backend="numpy", block_size=16, **kw)
+
+
+def _pad_sim_x(sim, D):
+    """Nx must divide D for slab sharding; shave grid rows (dead margin) so
+    tests don't depend on lucky sizes.  Shaving from the high-x margin is
+    safe only if no boundary node lives there — assert that."""
+    from dataclasses import replace
+
+    vox = sim.vox
+    rem = vox.Nx % D
+    if rem == 0:
+        return sim
+    # grow instead of shave: extend with dead air rows at high x
+    add = D - rem
+    return replace(sim, vox=replace(vox, Nx=vox.Nx + add,
+                                    xv=np.r_[vox.xv, vox.xv[-1]
+                                             + vox.h * np.arange(1, add + 1)]))
+
+
+@pytest.mark.parametrize("fcc", [False, True])
+def test_sharded_matches_single(fcc):
+    sim = _setup(fcc=fcc, h=0.15 if fcc else 0.12)
+    sim = _pad_sim_x(sim, 8)
+
+    j1 = JaxEngine(consts=sim.consts, vox=sim.vox, comms=sim.comms,
+                   mats=sim.mats, dtype=np.float64, pad_z=None)
+    j1.run(verbose=False)
+
+    mesh = make_mesh(8)
+    j8 = ShardedEngine(consts=sim.consts, vox=sim.vox, comms=sim.comms,
+                       mats=sim.mats, mesh=mesh, dtype=np.float64, pad_z=None)
+    j8.run(verbose=False)
+
+    assert np.array_equal(j1.u_out, j8.u_out), (
+        f"max abs diff {np.abs(j1.u_out - j8.u_out).max():.3e}")
+
+
+def test_sharded_single_device_mesh():
+    """D=1 shard_map path must also agree (exercises both cond branches)."""
+    sim = _setup()
+    sim = _pad_sim_x(sim, 1)
+    j1 = JaxEngine(consts=sim.consts, vox=sim.vox, comms=sim.comms,
+                   mats=sim.mats, dtype=np.float64, pad_z=None)
+    j1.run(verbose=False)
+    js = ShardedEngine(consts=sim.consts, vox=sim.vox, comms=sim.comms,
+                       mats=sim.mats, mesh=make_mesh(1), dtype=np.float64,
+                       pad_z=None)
+    js.run(verbose=False)
+    assert np.array_equal(j1.u_out, js.u_out)
+
+
+def test_sharded_2_and_4_agree():
+    sim = _setup()
+    sim = _pad_sim_x(sim, 4)
+    outs = []
+    for D in (2, 4):
+        if sim.vox.Nx % D:
+            continue
+        js = ShardedEngine(consts=sim.consts, vox=sim.vox, comms=sim.comms,
+                           mats=sim.mats, mesh=make_mesh(D),
+                           dtype=np.float64, pad_z=None)
+        js.run(verbose=False)
+        outs.append(js.u_out)
+    assert len(outs) == 2
+    assert np.array_equal(outs[0], outs[1])
