@@ -19,19 +19,22 @@ BASELINE_MVPS = 52512.6  # 2x A100-40GB per-GPU rate, FCC fmax=6.5kHz
 
 
 def main():
-    # size via env overrides (defaults target ~2.3 GB of fp32 state)
+    # size via env overrides (defaults target ~3.3 GB of fp32 state)
     Lx = float(os.environ.get("BENCH_LX", "36"))
     Ly = float(os.environ.get("BENCH_LY", "28"))
-    Lz = float(os.environ.get("BENCH_LZ", "17"))
-    h = float(os.environ.get("BENCH_H", "0.04"))
-    nt = int(os.environ.get("BENCH_NT", "64"))
+    Lz = float(os.environ.get("BENCH_LZ", "23"))
+    h = float(os.environ.get("BENCH_H", "0.046"))
+    nt = int(os.environ.get("BENCH_NT", "128"))
     fcc = os.environ.get("BENCH_FCC", "0") == "1"
+    # lossy impedance boundaries everywhere (the reference benchmark config);
+    # off by default until the windowed boundary kernel lands
+    lossy = os.environ.get("BENCH_LOSSY", "0") == "1"
 
     from pffdtd_tpu.demo import synthetic_box_sim
     from pffdtd_tpu.engine.jax_engine import JaxEngine
 
     t0 = time.perf_counter()
-    sim = synthetic_box_sim(Lx, Ly, Lz, h=h, Nt=nt, fcc=fcc, lossy=True,
+    sim = synthetic_box_sim(Lx, Ly, Lz, h=h, Nt=nt, fcc=fcc, lossy=lossy,
                             insig_type="impulse")
     t1 = time.perf_counter()
     g = sim.vox

@@ -48,37 +48,46 @@ from pffdtd_tpu.voxelizer.vox import CART_VECTORS, FCC_VECTORS
 # --------------------------------------------------------------------- prep
 @dataclass
 class GridSpec:
-    """Static geometry of the (possibly z-padded) grid."""
+    """Static geometry of the (possibly padded) grid."""
 
-    Nx: int
-    Ny: int
+    Nx: int      # true x extent
+    Ny: int      # true y extent
     Nz: int      # true z extent
     Nzp: int     # padded z extent (lane-aligned on TPU)
     fcc_flag: int
+    Nxp: int = 0  # padded x extent (tile-aligned for the Pallas kernel)
+    Nyp: int = 0  # padded y extent (sublane-aligned for int8 DMA slices)
+
+    def __post_init__(self):
+        if not self.Nxp:
+            self.Nxp = self.Nx
+        if not self.Nyp:
+            self.Nyp = self.Ny
 
     @property
     def shape(self):
-        return (self.Nx, self.Ny, self.Nzp)
+        return (self.Nxp, self.Nyp, self.Nzp)
 
     @property
     def folded(self):
         return self.fcc_flag == 2
 
 
-def _remap_indices(ixyz, Ny, Nz, Nzp):
-    """Linear indices from the file layout (z extent Nz) to padded layout."""
+def _remap_indices(ixyz, Ny, Nz, Nyp, Nzp):
+    """Linear indices from the file layout (Ny, Nz) to the padded layout."""
     ixyz = np.asarray(ixyz, np.int64)
     iz = ixyz % Nz
     iy = (ixyz // Nz) % Ny
     ix = ixyz // (Ny * Nz)
-    return (ix * Ny + iy) * Nzp + iz
+    return (ix * Nyp + iy) * Nzp + iz
 
 
 class EngineData:
     """Host-side preparation of all static arrays the step function needs."""
 
     def __init__(self, consts, vox, comms, mats, dtype=np.float32,
-                 pad_z: int | None = 128, fp32_eps: float | None = None):
+                 pad_z: int | None = 128, fp32_eps: float | None = None,
+                 tile_x: int | None = None, pad_y: int | None = 8):
         self.dtype = np.dtype(dtype)
         if fp32_eps is None:
             fp32_eps = FP32_EPS if self.dtype == np.float32 else 0.0
@@ -91,15 +100,23 @@ class EngineData:
         Nzp = Nz
         if pad_z:
             Nzp = int(-(-Nz // pad_z) * pad_z)
+        Nyp = Ny
+        if pad_y:
+            Nyp = int(-(-Ny // pad_y) * pad_y)
+        Nxp = Nx
+        if tile_x:  # pallas kernel needs NXT*TX + 2 rows available
+            NXT = -(-(Nx - 2) // tile_x)
+            Nxp = max(Nx, NXT * tile_x + 2)
+        self.tile_x = tile_x
         self.grid = GridSpec(Nx=Nx, Ny=Ny, Nz=Nz, Nzp=Nzp,
-                             fcc_flag=int(consts.fcc_flag))
+                             fcc_flag=int(consts.fcc_flag), Nxp=Nxp, Nyp=Nyp)
 
         VV = (FCC_VECTORS if self.fcc else CART_VECTORS).astype(np.int64)
         self.NN = VV.shape[0]
-        strides = VV @ np.array([Ny * Nzp, Nzp, 1])
+        strides = VV @ np.array([Nyp * Nzp, Nzp, 1])
 
         # rigid-boundary correction data: neighbour indices + cut masks
-        bn = _remap_indices(vox.bn_ixyz, Ny, Nz, Nzp)
+        bn = _remap_indices(vox.bn_ixyz, Ny, Nz, Nyp, Nzp)
         cut = ~vox.adj_bn  # (Nb, NN)
         self.bn_ixyz = bn
         self.bn_nbr = bn[:, None] + strides[None, :]
@@ -107,10 +124,23 @@ class EngineData:
         self.bn_ncut = cut.sum(-1).astype(self.dtype)
         self.Nb = int(bn.size)
 
+        # dense bit-packed adjacency grid: the uniform masked stencil makes
+        # rigid-boundary handling branch-free and removes all sparse work for
+        # it (TPU-first alternative to the reference's separate boundary
+        # kernel, gpu_engine.h:288-348); air nodes carry the all-ones mask
+        adt = np.uint16 if self.NN == 12 else np.uint8
+        full_mask = adt((1 << self.NN) - 1)
+        adj_grid = np.full(self.grid.shape, full_mask, adt)
+        packed = np.zeros(bn.shape[0], adt)
+        for k in range(self.NN):
+            packed |= (vox.adj_bn[:, k].astype(adt) << adt(k))
+        adj_grid.reshape(-1)[bn] = packed
+        self.adj_grid = adj_grid
+
         # lossy boundary subset
         lossy = vox.mat_bn > -1
         self.Nbl = int(lossy.sum())
-        self.bnl_ixyz = _remap_indices(vox.bn_ixyz[lossy], Ny, Nz, Nzp)
+        self.bnl_ixyz = _remap_indices(vox.bn_ixyz[lossy], Ny, Nz, Nyp, Nzp)
         saf = vox.saf_bn[lossy]
         ssaf = saf * (0.5 / np.sqrt(2.0)) if self.fcc else saf
         self.ssaf_bnl = ssaf.astype(self.dtype)
@@ -120,8 +150,8 @@ class EngineData:
         self.mat_rows_f64 = {k: rows[k] for k in ("D", "E", "F")}
 
         # sources / receivers
-        self.in_ixyz = _remap_indices(comms.in_ixyz, Ny, Nz, Nzp)
-        self.out_ixyz = _remap_indices(comms.out_ixyz, Ny, Nz, Nzp)
+        self.in_ixyz = _remap_indices(comms.in_ixyz, Ny, Nz, Nyp, Nzp)
+        self.out_ixyz = _remap_indices(comms.out_ixyz, Ny, Nz, Nyp, Nzp)
         self.in_sigs = np.asarray(comms.in_sigs, np.float64)  # (Ns, Nt)
         self.Nt = int(comms.Nt)
         self.out_reorder = comms.out_reorder
@@ -195,8 +225,18 @@ def _abc_regions(g: GridSpec):
     return regions
 
 
-def build_step(data: EngineData, energy: bool = False):
-    """Build the jittable (carry, x) -> (carry, y) step function."""
+def build_step(data: EngineData, energy: bool = False,
+               rigid: str = "dense", backend: str = "xla",
+               interpret: bool = False):
+    """Build the jittable (carry, x) -> (carry, y) step function.
+
+    rigid: 'dense' uses the bit-packed adjacency grid (uniform masked
+    stencil, no sparse rigid work); 'sparse' uses the dense-stencil +
+    per-node correction formulation.
+    backend: 'pallas' runs flips+stencil+ABC as one fused Pallas TPU kernel
+    (the fast path); 'xla' composes jnp ops (portable; used by the energy
+    oracle and CPU tests).
+    """
     g = data.grid
     sc = data.sc
     dtype = data.dtype
@@ -233,29 +273,87 @@ def build_step(data: EngineData, energy: bool = False):
         e_c = dtype.type(data.consts.c)
         e_Ts = dtype.type(data.consts.Ts)
         Qg = abc_q_grid(g.Nx, g.Ny, g.Nz, folded_y=g.folded)
-        if g.Nzp != g.Nz:
-            Qg = np.pad(Qg, ((0, 0), (0, 0), (0, g.Nzp - g.Nz)))
+        Qg = np.pad(Qg, ((0, g.Nxp - g.Nx), (0, g.Nyp - g.Ny),
+                         (0, g.Nzp - g.Nz)))
         e_Q = jnp.asarray(Qg.astype(dtype))
         e_V = jnp.asarray((2.0 ** -Qg.astype(np.float64)).astype(dtype))
         e_absmask = jnp.asarray((Qg > 0).astype(dtype))
+
+    adj_grid = jnp.asarray(data.adj_grid) if rigid == "dense" else None
+    two = dtype.type(2.0)
+
+    if backend == "pallas":
+        from pffdtd_tpu.engine.pallas_stencil import build_fused_stencil
+
+        assert not energy, "energy accounting uses the xla backend"
+        assert rigid == "dense"
+        jdt = jnp.float32 if dtype == np.float32 else jnp.float64
+        fused = build_fused_stencil(g, sc, data.fcc, dtype=jdt,
+                                    TX=data.tile_x or 8, interpret=interpret)
+
+        def _boundary_io(u0, unew, vh1, gh1, sig_n, u1):
+            unew_f = unew.reshape(-1)
+            vh0, gh_new = vh1, gh1
+            if data.Nbl:
+                u2b = u0.reshape(-1)[bnl]
+                ub = unew_f[bnl]
+                lo2Kbg = lo2 * ssaf * mrows["beta"]
+                ub = ub - l * ssaf * jnp.sum(
+                    2.0 * mrows["bDh"] * vh1 - mrows["bFh"] * gh1, -1)
+                ub = (ub + lo2Kbg * u2b) / (1.0 + lo2Kbg)
+                unew_f = unew_f.at[bnl].set(ub)
+                vh0 = (mrows["b"] * (ub - u2b)[:, None] + mrows["bd"] * vh1
+                       - 2.0 * mrows["bFh"] * gh1)
+                gh_new = gh1 + 0.5 * (vh0 + vh1)
+            unew_f = unew_f.at[in_ixyz].add(sig_n.astype(dtype))
+            out_n = u1.reshape(-1)[out_ixyz]
+            return unew_f.reshape(g.shape), vh0, gh_new, out_n
+
+        def step_pallas(carry, sig_n):
+            u0, u1, vh1, gh1 = carry
+            unew = fused(u1, u0, adj_grid)
+            # ABC: disjoint uniform-Q slice regions (cheap O(N^2) XLA work)
+            for sl, Q in abc_regions:
+                lQ = dtype.type(sc.l * Q)
+                unew = unew.at[sl].set((unew[sl] + lQ * u0[sl]) / (1.0 + lQ))
+            unew, vh0, gh_new, out_n = _boundary_io(
+                u0, unew, vh1, gh1, sig_n, u1)
+            return (u1, unew, vh0, gh_new), out_n
+
+        return step_pallas
 
     def _step_core(u0, u1, vh1, gh1, sig_n):
         """Shared update; returns (unew, u1f, vh0, gh_new, extras)."""
         u1f = _flip_halos(u1, g)
 
-        nsum = _neighbor_sum(u1f, g, VV)
-        unew_int = a1 * u1f[interior] - u0[interior] + a2 * nsum
-        unew = u0.at[interior].set(unew_int)
-
-        u1_flat = u1f.reshape(-1)
-        unew_f = unew.reshape(-1)
-
-        if data.Nb:
-            # rigid-boundary correction: remove cut legs, fix the diagonal
-            cut_nbrs = u1_flat[bn_nbr]            # (Nb, NN)
-            cutsum = jnp.sum(bn_cut * cut_nbrs, -1)
-            delta = sl2 * bn_ncut * u1_flat[bn] - a2 * cutsum
-            unew_f = unew_f.at[bn].add(delta)
+        if rigid == "dense":
+            # uniform adjacency-masked stencil: one branch-free pass handles
+            # air AND rigid-boundary nodes (K and the legs come from bits)
+            a = adj_grid[interior]
+            acc = None
+            K = None
+            for k, (dx, dy, dz) in enumerate(VV):
+                bit = ((a >> k) & 1).astype(dtype)
+                s = u1f[1 + dx:g.Nx - 1 + dx, 1 + dy:g.Ny - 1 + dy,
+                        1 + dz:g.Nz - 1 + dz]
+                t = bit * s
+                acc = t if acc is None else acc + t
+                K = bit if K is None else K + bit
+            unew_int = (two - sl2 * K) * u1f[interior] - u0[interior] + a2 * acc
+            unew = u0.at[interior].set(unew_int)
+            unew_f = unew.reshape(-1)
+        else:
+            nsum = _neighbor_sum(u1f, g, VV)
+            unew_int = a1 * u1f[interior] - u0[interior] + a2 * nsum
+            unew = u0.at[interior].set(unew_int)
+            unew_f = unew.reshape(-1)
+            if data.Nb:
+                # rigid-boundary correction: remove cut legs, fix diagonal
+                u1_flat = u1f.reshape(-1)
+                cut_nbrs = u1_flat[bn_nbr]            # (Nb, NN)
+                cutsum = jnp.sum(bn_cut * cut_nbrs, -1)
+                delta = sl2 * bn_ncut * u1_flat[bn] - a2 * cutsum
+                unew_f = unew_f.at[bn].add(delta)
 
         vh0 = vh1
         gh_new = gh1
@@ -347,16 +445,34 @@ class JaxEngine:
 
     def __init__(self, folder=None, *, consts=None, vox=None, comms=None,
                  mats=None, dtype=np.float32, energy_on=False,
-                 pad_z: int | None = 128, fp32_eps: float | None = None):
+                 pad_z: int | None = 128, fp32_eps: float | None = None,
+                 rigid: str = "dense", backend: str = "auto",
+                 tile_x: int | None = None):
         if folder is not None:
             sf = SimFolder(folder)
             consts, vox, comms, mats = sf.consts, sf.vox, sf.comms, sf.mats
+        if backend == "auto":
+            # the fused Pallas kernel is the fast path on real TPUs; energy
+            # accounting and CPU runs use the portable XLA composition
+            on_tpu = jax.devices()[0].platform not in ("cpu",)
+            backend = ("pallas" if on_tpu and not energy_on
+                       and rigid == "dense" and dtype == np.float32 else "xla")
+        if backend == "pallas" and tile_x is None:
+            from pffdtd_tpu.engine.pallas_stencil import pick_tile_x
+
+            Nzp = int(-(-vox.Nz // (pad_z or 1)) * (pad_z or 1)) if pad_z \
+                else vox.Nz
+            Nyp = -(-vox.Ny // 8) * 8
+            tile_x = pick_tile_x(Nyp, Nzp)
+        self.backend = backend
         self.data = EngineData(consts, vox, comms, mats, dtype=dtype,
-                               pad_z=pad_z, fp32_eps=fp32_eps)
+                               pad_z=pad_z, fp32_eps=fp32_eps,
+                               tile_x=tile_x if backend == "pallas" else None)
         self.energy_on = energy_on
         self._folder = folder
         self.Nt = self.data.Nt
-        step = build_step(self.data, energy=energy_on)
+        step = build_step(self.data, energy=energy_on, rigid=rigid,
+                          backend=backend)
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def run_scan(carry, sigs_T):

@@ -1,0 +1,233 @@
+"""Fused Pallas TPU kernel: halo flips + adjacency-masked stencil + leapfrog.
+
+One HBM pass per timestep over x-row tiles with manual double-buffered DMA:
+
+    read  u1 slab (TX+2 rows), u0 block (TX), adj block (TX)   ~13 B/voxel
+    VMEM  apply mirror halo flips to the slab (virtual, slab-local)
+          acc_k = bit_k(adj) * roll(slab, -v_k)   (adjacency-masked legs)
+          unew  = (2 - sl2*K)*u1 - u0 + a2*acc    (leapfrog, EPS-safe diag)
+    write unew block (TX rows)
+
+This replaces the XLA formulation's many unfused full-grid passes with one;
+the rigid-boundary update needs NO sparse work at all: adjacency bits make
+air and boundary nodes one uniform branch-free expression (contrast
+gpu_engine.h:220-348's separate air/boundary kernels).  The bit masking and
+rolls are free — the kernel is DMA-bound (measured ~equal to a pure-copy
+kernel of the same structure).
+
+ABC and the lossy-impedance updates are applied OUTSIDE the kernel (thin XLA
+slice/sparse ops).  Halo/pad positions of the output may hold stale values:
+the mirror flips rebuild every halo from interior data at the start of each
+step, so stale halos never feed a live node.  The output aliases u0's buffer.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pffdtd_tpu.voxelizer.vox import CART_VECTORS, FCC_VECTORS
+
+
+def _roll(x, shift, axis):
+    """pltpu.roll with negative shifts (wraps modulo the axis size)."""
+    return pltpu.roll(x, shift % x.shape[axis], axis=axis)
+
+
+def _roll2(x, dy, dz):
+    """Shift so result[y,z] = x[y+dy, z+dz] (wrap; wrapped lanes are masked
+    out by the interior select)."""
+    if dy:
+        x = _roll(x, -dy, 1)
+    if dz:
+        x = _roll(x, -dz, 2)
+    return x
+
+
+def build_fused_stencil(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
+                        interpret: bool = False):
+    """Returns fn(u1, u0, adj) -> unew for (Nxp, Ny, Nzp) arrays.
+
+    grid: GridSpec (true extents Nx/Ny/Nz, padded Nxp=x rows, Nzp=lanes);
+    sc: SchemeCoeffs.  Requires Nxp >= NXT*TX + 2 where NXT = ceil((Nx-2)/TX).
+    """
+    Nx, Ny, Nz = grid.Nx, grid.Ny, grid.Nz
+    Nxp, Nyp, Nzp = grid.shape
+    folded = grid.folded
+    VV = (FCC_VECTORS if fcc else CART_VECTORS).astype(np.int64)
+    NN = VV.shape[0]
+
+    NXT = -(-(Nx - 2) // TX)
+    assert Nxp >= NXT * TX + 2, (Nxp, NXT, TX)
+
+    npdt = np.float32 if dtype == jnp.float32 else np.float64
+    a2 = npdt(sc.a2)
+    sl2 = npdt(sc.sl2)
+    two = npdt(2.0)
+    l_ = sc.l
+    # ABC weights per Q in {0,1,2,3}: u <- (u + l*Q*u0) / (1 + l*Q)
+    abc_w = [np.float64(1.0 / (1.0 + l_ * q)) for q in range(4)]
+
+    # tile that contains the high-x halo row (its slab needs the x flip)
+    t_hi = (Nx - 2 - 1) // TX           # tile updating global row Nx-2
+    j_hi = (Nx - 1) - (t_hi * TX)       # slab-local index of row Nx-1 is
+    # slab rows cover global [t*TX, t*TX+TX+1]; local slab idx of gx is gx-t*TX
+
+    def kernel(u1_h, u0_h, adj_h, out_h):
+        def body(slab, u0b, adjb, outb, sem_in, sem_out):
+            n_in = 3
+
+            def start_in(t, slot):
+                rs = t * TX
+                cps = [
+                    pltpu.make_async_copy(
+                        u1_h.at[pl.ds(rs, TX + 2)], slab.at[slot],
+                        sem_in.at[slot, 0]),
+                    pltpu.make_async_copy(
+                        u0_h.at[pl.ds(rs + 1, TX)], u0b.at[slot],
+                        sem_in.at[slot, 1]),
+                    pltpu.make_async_copy(
+                        adj_h.at[pl.ds(rs + 1, TX)], adjb.at[slot],
+                        sem_in.at[slot, 2]),
+                ]
+                for c in cps:
+                    c.start()
+
+            def wait_in(t, slot):
+                rs = t * TX
+                pltpu.make_async_copy(
+                    u1_h.at[pl.ds(rs, TX + 2)], slab.at[slot],
+                    sem_in.at[slot, 0]).wait()
+                pltpu.make_async_copy(
+                    u0_h.at[pl.ds(rs + 1, TX)], u0b.at[slot],
+                    sem_in.at[slot, 1]).wait()
+                pltpu.make_async_copy(
+                    adj_h.at[pl.ds(rs + 1, TX)], adjb.at[slot],
+                    sem_in.at[slot, 2]).wait()
+
+            def out_copy(t, slot):
+                return pltpu.make_async_copy(
+                    outb.at[slot], out_h.at[pl.ds(t * TX + 1, TX)],
+                    sem_out.at[slot])
+
+            start_in(0, 0)
+
+            def loop(t, _):
+                slot = t % 2
+
+                @pl.when(t + 1 < NXT)
+                def _():
+                    start_in(t + 1, (t + 1) % 2)
+
+                wait_in(t, slot)
+
+                # ---- halo flips: in-place ref stores on the slab copy
+                # (virtual flips; HBM u1 is never modified)
+                slab[slot, :, :, 0] = slab[slot, :, :, 2]
+                slab[slot, :, :, Nz - 1] = slab[slot, :, :, Nz - 3]
+                slab[slot, :, 0, :] = slab[slot, :, 2, :]
+                if folded:
+                    slab[slot, :, Ny - 1, :] = slab[slot, :, Ny - 2, :]
+                else:
+                    slab[slot, :, Ny - 1, :] = slab[slot, :, Ny - 3, :]
+
+                # x flips: global row 0 is slab-local row 0 of tile 0; the
+                # global high halo row Nx-1 sits at slab row j = Nx-1 - t*TX
+                # (mirrored from j-2) whenever it falls inside this slab's
+                # update window
+                @pl.when(t == 0)
+                def _():
+                    slab[slot, 0] = slab[slot, 2]
+
+                j = Nx - 1 - t * TX
+
+                @pl.when((j >= 2) & (j <= TX + 1))
+                def _():
+                    slab[slot, pl.ds(j, 1)] = slab[slot, pl.ds(j - 2, 1)]
+
+                s = slab[slot]          # (TX+2, Nyp, Nzp)
+
+                # ---- masked stencil on the TX update rows (slab rows 1..TX)
+                a32 = adjb[slot].astype(jnp.int32)
+                u1c = s[1:TX + 1]
+                acc = None
+                K = None
+                for k in range(NN):
+                    dx, dy, dz = VV[k]
+                    nb = _roll2(s[1 + dx:TX + 1 + dx], dy, dz)
+                    bit = ((a32 >> k) & 1).astype(dtype)
+                    t_k = bit * nb
+                    acc = t_k if acc is None else acc + t_k
+                    K = bit if K is None else K + bit
+
+                u0c = u0b[slot]
+                unew = (two - sl2 * K) * u1c - u0c + a2 * acc
+
+                # ---- write back (wait for this slot's previous out DMA)
+                @pl.when(t >= 2)
+                def _():
+                    out_copy(t - 2, slot).wait()
+
+                outb[slot] = unew
+
+                # NOTE: ABC and halo handling happen OUTSIDE this kernel as
+                # cheap XLA slice updates (O(N^2) work); halo/pad positions in
+                # HBM may hold stale values — the mirror flips rebuild every
+                # halo from interior data at the start of each step, so stale
+                # halos never feed a live node.
+                out_copy(t, slot).start()
+
+            jax.lax.fori_loop(0, NXT, loop, None, unroll=False)
+            # drain the last two output DMAs
+            @pl.when(NXT >= 2)
+            def _():
+                out_copy(NXT - 2, (NXT - 2) % 2).wait()
+
+            out_copy(NXT - 1, (NXT - 1) % 2).wait()
+
+        adt = jnp.uint16 if NN == 12 else jnp.uint8
+        pl.run_scoped(
+            body,
+            slab=pltpu.VMEM((2, TX + 2, Nyp, Nzp), dtype),
+            u0b=pltpu.VMEM((2, TX, Nyp, Nzp), dtype),
+            adjb=pltpu.VMEM((2, TX, Nyp, Nzp), adt),
+            outb=pltpu.VMEM((2, TX, Nyp, Nzp), dtype),
+            sem_in=pltpu.SemaphoreType.DMA((2, 3)),
+            sem_out=pltpu.SemaphoreType.DMA((2,)),
+        )
+
+    adt = jnp.uint16 if NN == 12 else jnp.uint8
+
+    @jax.jit
+    def fused(u1, u0, adj):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((Nxp, Nyp, Nzp), dtype),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            input_output_aliases={1: 0},  # out aliases u0
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True,
+                vmem_limit_bytes=112 * 1024 * 1024),
+            interpret=interpret,
+        )(u1, u0, adj)
+
+    return fused
+
+
+def pick_tile_x(Ny, Nzp, dtype_bytes=4, budget_bytes=44 * 1024 * 1024) -> int:
+    """Largest TX in {32,16,8,4} whose double-buffered scratch fits VMEM."""
+    plane = Ny * Nzp
+    for TX in (32, 16, 8, 4):
+        # 2 slots x (u1 slab + u0 + out) f32 + adj int8
+        need = 2 * plane * ((TX + 2) * dtype_bytes
+                            + TX * (2 * dtype_bytes + 1))
+        if need <= budget_bytes:
+            return TX
+    return 2

@@ -70,7 +70,7 @@ class _ShardLists:
 def _partition(data: EngineData, D: int) -> _ShardLists:
     g = data.grid
     S = g.Nx // D
-    row = g.Ny * g.Nzp  # flat stride of one x row
+    row = g.Nyp * g.Nzp  # flat stride of one x row
 
     def split(ixyz):
         gx = ixyz // row
@@ -89,7 +89,7 @@ def _partition(data: EngineData, D: int) -> _ShardLists:
     bn_cut = np.zeros((D, Nbm, data.NN), data.dtype)
     bn_ncut = np.zeros((D, Nbm), data.dtype)
     VV = (FCC_VECTORS if data.fcc else CART_VECTORS).astype(np.int64)
-    ext_strides = (VV[:, 0] * g.Ny + VV[:, 1]) * g.Nzp + VV[:, 2]
+    ext_strides = (VV[:, 0] * g.Nyp + VV[:, 1]) * g.Nzp + VV[:, 2]
     for d in range(D):
         p = per[d]
         ext_idx = (lx[p] + 1) * row + rem[p]
@@ -169,9 +169,9 @@ class ShardedEngine:
         sc = data.sc
         dtype = data.dtype
         D, S = self.D, self.S
-        Ny, Nz, Nzp = g.Ny, g.Nz, g.Nzp
+        Ny, Nz, Nzp, Nyp = g.Ny, g.Nz, g.Nzp, g.Nyp
         VV = (FCC_VECTORS if data.fcc else CART_VECTORS).astype(np.int64)
-        row = Ny * Nzp
+        row = Nyp * Nzp
 
         a1 = dtype.type(sc.a1)
         a2 = dtype.type(sc.a2)
@@ -257,8 +257,8 @@ class ShardedEngine:
                 from_left = jax.lax.ppermute(u1f[S - 1:S], "x", fwd)
                 from_right = jax.lax.ppermute(u1f[0:1], "x", bwd)
             else:
-                from_left = jnp.zeros((1, Ny, Nzp), dtype)
-                from_right = jnp.zeros((1, Ny, Nzp), dtype)
+                from_left = jnp.zeros((1, Nyp, Nzp), dtype)
+                from_right = jnp.zeros((1, Nyp, Nzp), dtype)
             ext = jnp.concatenate([from_left, u1f, from_right], axis=0)
 
             # dense stencil on ALL S local rows (y/z interior)
@@ -296,7 +296,7 @@ class ShardedEngine:
             vh0 = (m["b"] * (ub - u2b)[:, None] + m["bd"] * vh1
                    - 2.0 * m["bFh"] * gh1)
             gh_new = gh1 + 0.5 * (vh0 + vh1)
-            unew = unew_f.reshape(S, Ny, Nzp)
+            unew = unew_f.reshape(S, Nyp, Nzp)
 
             # ABCs: uniform y/z regions (masked rows) + x-extreme rows
             unew = apply_yz_abc(unew, u0, lists["mx"])
@@ -311,7 +311,7 @@ class ShardedEngine:
             unew_f = unew.reshape(-1)
             unew_f = unew_f.at[lists["in_loc"]].add(
                 sig_n.astype(dtype) * lists["in_mask"])
-            unew = unew_f.reshape(S, Ny, Nzp)
+            unew = unew_f.reshape(S, Nyp, Nzp)
             out_n = jax.lax.psum(
                 u1f.reshape(-1)[lists["out_loc"]] * lists["out_mask"], "x")
 

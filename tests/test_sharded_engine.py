@@ -48,8 +48,11 @@ def test_sharded_matches_single(fcc):
     sim = _setup(fcc=fcc, h=0.15 if fcc else 0.12)
     sim = _pad_sim_x(sim, 8)
 
+    # sharded engine uses the sparse-correction formulation internally; use
+    # the same in the single-device reference for a bitwise comparison
     j1 = JaxEngine(consts=sim.consts, vox=sim.vox, comms=sim.comms,
-                   mats=sim.mats, dtype=np.float64, pad_z=None)
+                   mats=sim.mats, dtype=np.float64, pad_z=None,
+                   rigid="sparse")
     j1.run(verbose=False)
 
     mesh = make_mesh(8)
@@ -66,7 +69,8 @@ def test_sharded_single_device_mesh():
     sim = _setup()
     sim = _pad_sim_x(sim, 1)
     j1 = JaxEngine(consts=sim.consts, vox=sim.vox, comms=sim.comms,
-                   mats=sim.mats, dtype=np.float64, pad_z=None)
+                   mats=sim.mats, dtype=np.float64, pad_z=None,
+                   rigid="sparse")
     j1.run(verbose=False)
     js = ShardedEngine(consts=sim.consts, vox=sim.vox, comms=sim.comms,
                        mats=sim.mats, mesh=make_mesh(1), dtype=np.float64,
