@@ -87,7 +87,8 @@ class EngineData:
 
     def __init__(self, consts, vox, comms, mats, dtype=np.float32,
                  pad_z: int | None = 128, fp32_eps: float | None = None,
-                 tile_x: int | None = None, pad_y: int | None = 8):
+                 tile_x: int | None = None, pad_y: int | None = 8,
+                 boundary_kernel: bool = False):
         self.dtype = np.dtype(dtype)
         if fp32_eps is None:
             fp32_eps = FP32_EPS if self.dtype == np.float32 else 0.0
@@ -107,6 +108,15 @@ class EngineData:
         if tile_x:  # pallas kernel needs NXT*TX + 2 rows available
             NXT = -(-(Nx - 2) // tile_x)
             Nxp = max(Nx, NXT * tile_x + 2)
+        if boundary_kernel:
+            # the windowed boundary kernel views the flat grid as windows of
+            # 128x128 elements: grow Nxp until the flat size divides evenly
+            from pffdtd_tpu.engine.pallas_boundary import WR
+
+            wsize = WR * 128
+            while (Nxp * Nyp * Nzp) % wsize:
+                Nxp += 1
+        self.boundary_kernel = boundary_kernel
         self.tile_x = tile_x
         self.grid = GridSpec(Nx=Nx, Ny=Ny, Nz=Nz, Nzp=Nzp,
                              fcc_flag=int(consts.fcc_flag), Nxp=Nxp, Nyp=Nyp)
@@ -148,6 +158,17 @@ class EngineData:
         self.mat_rows = {k: rows[k].astype(self.dtype)
                          for k in ("b", "bd", "bDh", "bFh", "beta")}
         self.mat_rows_f64 = {k: rows[k] for k in ("D", "E", "F")}
+        self.Nbl_state = self.Nbl  # rows in the vh/gh state arrays
+        self.btiles = None
+        if boundary_kernel and self.Nbl:
+            from pffdtd_tpu.engine.pallas_boundary import (TILE_T,
+                                                           partition_boundary)
+
+            flat = int(np.prod(self.grid.shape))
+            self.btiles = partition_boundary(
+                self.bnl_ixyz, self.ssaf_bnl, self.mat_rows, flat,
+                dtype=self.dtype)
+            self.Nbl_state = self.btiles.n_tiles * TILE_T
 
         # sources / receivers
         self.in_ixyz = _remap_indices(comms.in_ixyz, Ny, Nz, Nyp, Nzp)
@@ -252,15 +273,21 @@ def build_step(data: EngineData, energy: bool = False,
     lfac = dtype.type(sc.lfac)
     Kfull = dtype.type(sc.K)
 
-    bn = jnp.asarray(data.bn_ixyz)
-    bn_nbr = jnp.asarray(data.bn_nbr)
-    bn_cut = jnp.asarray(data.bn_cut)
-    bn_ncut = jnp.asarray(data.bn_ncut)
-    bnl = jnp.asarray(data.bnl_ixyz)
-    ssaf = jnp.asarray(data.ssaf_bnl)
-    mrows = {k: jnp.asarray(v) for k, v in data.mat_rows.items()}
-    in_ixyz = jnp.asarray(data.in_ixyz)
-    out_ixyz = jnp.asarray(data.out_ixyz)
+    # large static arrays travel as explicit inputs through the jit/scan (a
+    # closure-captured device array would be inlined into the serialized HLO,
+    # which breaks down at benchmark scale); build_step returns (step, consts)
+    # and step has signature step(carry, sig_n, consts)
+    consts = {
+        "bn": np.asarray(data.bn_ixyz),
+        "bn_nbr": np.asarray(data.bn_nbr),
+        "bn_cut": np.asarray(data.bn_cut),
+        "bn_ncut": np.asarray(data.bn_ncut),
+        "bnl": np.asarray(data.bnl_ixyz),
+        "ssaf": np.asarray(data.ssaf_bnl),
+        "mrows": {k: np.asarray(v) for k, v in data.mat_rows.items()},
+        "in_ixyz": np.asarray(data.in_ixyz),
+        "out_ixyz": np.asarray(data.out_ixyz),
+    }
     abc_regions = _abc_regions(g)
 
     if energy:
@@ -279,7 +306,8 @@ def build_step(data: EngineData, energy: bool = False,
         e_V = jnp.asarray((2.0 ** -Qg.astype(np.float64)).astype(dtype))
         e_absmask = jnp.asarray((Qg > 0).astype(dtype))
 
-    adj_grid = jnp.asarray(data.adj_grid) if rigid == "dense" else None
+    if rigid == "dense":
+        consts["adj_grid"] = data.adj_grid
     two = dtype.type(2.0)
 
     if backend == "pallas":
@@ -291,10 +319,11 @@ def build_step(data: EngineData, energy: bool = False,
         fused = build_fused_stencil(g, sc, data.fcc, dtype=jdt,
                                     TX=data.tile_x or 8, interpret=interpret)
 
-        def _boundary_io(u0, unew, vh1, gh1, sig_n, u1):
+        def _lossy_xla(u0, unew, vh1, gh1, C):
             unew_f = unew.reshape(-1)
             vh0, gh_new = vh1, gh1
             if data.Nbl:
+                bnl, ssaf, mrows = C["bnl"], C["ssaf"], C["mrows"]
                 u2b = u0.reshape(-1)[bnl]
                 ub = unew_f[bnl]
                 lo2Kbg = lo2 * ssaf * mrows["beta"]
@@ -305,31 +334,47 @@ def build_step(data: EngineData, energy: bool = False,
                 vh0 = (mrows["b"] * (ub - u2b)[:, None] + mrows["bd"] * vh1
                        - 2.0 * mrows["bFh"] * gh1)
                 gh_new = gh1 + 0.5 * (vh0 + vh1)
-            unew_f = unew_f.at[in_ixyz].add(sig_n.astype(dtype))
-            out_n = u1.reshape(-1)[out_ixyz]
-            return unew_f.reshape(g.shape), vh0, gh_new, out_n
+            return unew_f.reshape(g.shape), vh0, gh_new
 
-        def step_pallas(carry, sig_n):
+        lossy_update = None
+        if data.btiles is not None:
+            from pffdtd_tpu.engine.pallas_boundary import \
+                build_boundary_update
+
+            lossy_update, node_data = build_boundary_update(
+                data.btiles, sc, int(np.prod(g.shape)), dtype=jdt,
+                interpret=interpret)
+            consts["bnode"] = node_data
+
+        def step_pallas(carry, sig_n, C):
             u0, u1, vh1, gh1 = carry
-            unew = fused(u1, u0, adj_grid)
+            unew = fused(u1, u0, C["adj_grid"])
             # ABC: disjoint uniform-Q slice regions (cheap O(N^2) XLA work)
             for sl, Q in abc_regions:
                 lQ = dtype.type(sc.l * Q)
                 unew = unew.at[sl].set((unew[sl] + lQ * u0[sl]) / (1.0 + lQ))
-            unew, vh0, gh_new, out_n = _boundary_io(
-                u0, unew, vh1, gh1, sig_n, u1)
+            if lossy_update is not None:
+                unew_f, vh0, gh_new = lossy_update(
+                    unew.reshape(-1), u0.reshape(-1), vh1, gh1, C["bnode"])
+                unew = unew_f.reshape(g.shape)
+            else:
+                unew, vh0, gh_new = _lossy_xla(u0, unew, vh1, gh1, C)
+            unew_f = unew.reshape(-1)
+            unew_f = unew_f.at[C["in_ixyz"]].add(sig_n.astype(dtype))
+            unew = unew_f.reshape(g.shape)
+            out_n = u1.reshape(-1)[C["out_ixyz"]]
             return (u1, unew, vh0, gh_new), out_n
 
-        return step_pallas
+        return step_pallas, consts
 
-    def _step_core(u0, u1, vh1, gh1, sig_n):
+    def _step_core(u0, u1, vh1, gh1, sig_n, C):
         """Shared update; returns (unew, u1f, vh0, gh_new, extras)."""
         u1f = _flip_halos(u1, g)
 
         if rigid == "dense":
             # uniform adjacency-masked stencil: one branch-free pass handles
             # air AND rigid-boundary nodes (K and the legs come from bits)
-            a = adj_grid[interior]
+            a = C["adj_grid"][interior]
             acc = None
             K = None
             for k, (dx, dy, dz) in enumerate(VV):
@@ -350,14 +395,15 @@ def build_step(data: EngineData, energy: bool = False,
             if data.Nb:
                 # rigid-boundary correction: remove cut legs, fix diagonal
                 u1_flat = u1f.reshape(-1)
-                cut_nbrs = u1_flat[bn_nbr]            # (Nb, NN)
-                cutsum = jnp.sum(bn_cut * cut_nbrs, -1)
-                delta = sl2 * bn_ncut * u1_flat[bn] - a2 * cutsum
-                unew_f = unew_f.at[bn].add(delta)
+                cut_nbrs = u1_flat[C["bn_nbr"]]       # (Nb, NN)
+                cutsum = jnp.sum(C["bn_cut"] * cut_nbrs, -1)
+                delta = sl2 * C["bn_ncut"] * u1_flat[C["bn"]] - a2 * cutsum
+                unew_f = unew_f.at[C["bn"]].add(delta)
 
         vh0 = vh1
         gh_new = gh1
         if data.Nbl:
+            bnl, ssaf, mrows = C["bnl"], C["ssaf"], C["mrows"]
             u2b = u0.reshape(-1)[bnl]
             ub = unew_f[bnl]
             lo2Kbg = lo2 * ssaf * mrows["beta"]
@@ -378,21 +424,22 @@ def build_step(data: EngineData, energy: bool = False,
 
         # source injection / receiver readout
         unew_f = unew.reshape(-1)
-        unew_f = unew_f.at[in_ixyz].add(sig_n.astype(dtype))
+        unew_f = unew_f.at[C["in_ixyz"]].add(sig_n.astype(dtype))
         unew = unew_f.reshape(g.shape)
-        out_n = u1f.reshape(-1)[out_ixyz]
+        out_n = u1f.reshape(-1)[C["out_ixyz"]]
         return unew, u1f, vh0, gh_new, out_n
 
     if not energy:
 
-        def step(carry, sig_n):
+        def step(carry, sig_n, C):
             u0, u1, vh1, gh1 = carry
-            unew, u1f, vh0, gh_new, out_n = _step_core(u0, u1, vh1, gh1, sig_n)
+            unew, u1f, vh0, gh_new, out_n = _step_core(
+                u0, u1, vh1, gh1, sig_n, C)
             return (u1f, unew, vh0, gh_new), out_n
 
-        return step
+        return step, consts
 
-    def step_energy(carry, sig_n):
+    def step_energy(carry, sig_n, C):
         """Energy-instrumented step: carries L(u^{n-1}) and the accumulators."""
         u0, u1, vh1, gh1, Lu_prev, E_lost, E_in = carry
 
@@ -404,10 +451,12 @@ def build_step(data: EngineData, energy: bool = False,
         H = H - V_fac * 0.5 * e_h * jnp.sum(corr)
         if data.Nbl:
             H = H + V_fac * 0.5 * e_c / l2 * jnp.sum(
-                ssaf[:, None] * (vh1 ** 2 * e_D + (e_Ts * gh1) ** 2 * e_F))
-        u2in = u0.reshape(-1)[in_ixyz]
+                C["ssaf"][:, None] * (vh1 ** 2 * e_D
+                                      + (e_Ts * gh1) ** 2 * e_F))
+        u2in = u0.reshape(-1)[C["in_ixyz"]]
 
-        unew, u1f, vh0, gh_new, out_n = _step_core(u0, u1, vh1, gh1, sig_n)
+        unew, u1f, vh0, gh_new, out_n = _step_core(
+            u0, u1, vh1, gh1, sig_n, C)
 
         # --- store L(u^n) for the next step's H (recomputed to match the
         # oracle's split formulation: lfac * (nsum - K*u1))
@@ -417,22 +466,23 @@ def build_step(data: EngineData, energy: bool = False,
         if data.Nb:
             # masked Lu = dense Lu + lfac*(ncut*u1 - cut-leg sum)
             u1_flat = u1f.reshape(-1)
-            cutsum = jnp.sum(bn_cut * u1_flat[bn_nbr], -1)
-            deltaL = lfac * (bn_ncut * u1_flat[bn] - cutsum)
-            Lu = Lu.reshape(-1).at[bn].add(deltaL).reshape(g.shape)
+            cutsum = jnp.sum(C["bn_cut"] * u1_flat[C["bn_nbr"]], -1)
+            deltaL = lfac * (C["bn_ncut"] * u1_flat[C["bn"]] - cutsum)
+            Lu = Lu.reshape(-1).at[C["bn"]].add(deltaL).reshape(g.shape)
 
         # --- losses and input energy
         if data.Nbl:
             E_lost = E_lost + V_fac * 0.25 * e_h / l * jnp.sum(
-                ssaf[:, None] * ((vh0 + vh1) ** 2 * e_E))
+                C["ssaf"][:, None] * ((vh0 + vh1) ** 2 * e_E))
         E_lost = E_lost + 0.5 * V_fac * e_h / l * jnp.sum(
             (e_V * e_Q) * (unew - u0) ** 2 * e_absmask)
         E_in = E_in + (V_fac * e_h / l2) * 0.5 * jnp.sum(
-            (unew.reshape(-1)[in_ixyz] - u2in) * sig_n.astype(dtype))
+            (unew.reshape(-1)[C["in_ixyz"]] - u2in) * sig_n.astype(dtype))
 
-        return (u1f, unew, vh0, gh_new, Lu, E_lost, E_in), (out_n, H, E_lost, E_in)
+        return ((u1f, unew, vh0, gh_new, Lu, E_lost, E_in),
+                (out_n, H, E_lost, E_in))
 
-    return step_energy
+    return step_energy, consts
 
 
 # ------------------------------------------------------------------- runner
@@ -467,16 +517,21 @@ class JaxEngine:
         self.backend = backend
         self.data = EngineData(consts, vox, comms, mats, dtype=dtype,
                                pad_z=pad_z, fp32_eps=fp32_eps,
-                               tile_x=tile_x if backend == "pallas" else None)
+                               tile_x=tile_x if backend == "pallas" else None,
+                               boundary_kernel=(backend == "pallas"))
         self.energy_on = energy_on
         self._folder = folder
         self.Nt = self.data.Nt
-        step = build_step(self.data, energy=energy_on, rigid=rigid,
-                          backend=backend)
+        step, step_consts = build_step(self.data, energy=energy_on,
+                                       rigid=rigid, backend=backend)
+        self._step_consts = step_consts
 
         @functools.partial(jax.jit, donate_argnums=(0,))
-        def run_scan(carry, sigs_T):
-            return jax.lax.scan(step, carry, sigs_T)
+        def run_scan(carry, sigs_T, C):
+            def body(c, x):
+                return step(c, x, C)
+
+            return jax.lax.scan(body, carry, sigs_T)
 
         self._run_scan = run_scan
 
@@ -485,8 +540,8 @@ class JaxEngine:
         g = d.grid
         u0 = jnp.zeros(g.shape, d.dtype)
         u1 = jnp.zeros(g.shape, d.dtype)  # distinct buffers (donation)
-        vh = jnp.zeros((d.Nbl, MMb), d.dtype)
-        gh = jnp.zeros((d.Nbl, MMb), d.dtype)
+        vh = jnp.zeros((d.Nbl_state, MMb), d.dtype)
+        gh = jnp.zeros((d.Nbl_state, MMb), d.dtype)
         if self.energy_on:
             return (u0, u1, vh, gh, jnp.zeros(g.shape, d.dtype),
                     jnp.zeros((), d.dtype), jnp.zeros((), d.dtype))
@@ -502,7 +557,8 @@ class JaxEngine:
         carry = self.init_carry()
 
         t0 = time.perf_counter()
-        carry, ys = self._run_scan(carry, jnp.asarray(sigs))
+        carry, ys = self._run_scan(carry, jnp.asarray(sigs),
+                                   self._step_consts)
         ys = jax.tree.map(lambda a: np.asarray(jax.block_until_ready(a)), ys)
         t1 = time.perf_counter()
 

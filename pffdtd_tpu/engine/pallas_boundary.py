@@ -38,8 +38,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from pffdtd_tpu.io.h5 import MMb
 
-WR = 128       # rows per window; window = WR * 128 grid elements
-TILE_T = 256   # nodes per tile
+WR = 128        # rows per window; window = WR * 128 grid elements
+TILE_T = 1024   # nodes per tile (1-D i32/f32 operands need 1024-aligned blocks)
 
 
 @dataclass
@@ -141,8 +141,8 @@ def build_boundary_update(bt: BoundaryTiles, sc, n_elements, dtype=jnp.float32,
             out_w[...] = uw[...]
 
         win = out_w[0]          # (WR, 128), accumulated across tiles
-        r = rows[0]             # (T,)
-        ln = lanes[0]
+        r = rows[...]           # (T,)
+        ln = lanes[...]
         G = (jax.lax.broadcasted_iota(jnp.int32, (T, WR), 1)
              == r[:, None]).astype(dtype)
         L = (jax.lax.broadcasted_iota(jnp.int32, (T, 128), 1)
@@ -153,25 +153,28 @@ def build_boundary_update(bt: BoundaryTiles, sc, n_elements, dtype=jnp.float32,
         picked0 = jnp.dot(G, u0w[0], preferred_element_type=dtype)
         u2b = jnp.sum(picked0 * L, -1)
 
-        sa = ssaf[0]
-        vh = vh1[0]
-        gh = gh1[0]
-        lo2Kbg = lo2 * sa * beta[0]
-        ub_new = ub - l * sa * jnp.sum(2.0 * bDh[0] * vh - bFh[0] * gh, -1)
+        sa = ssaf[...]
+        vh = vh1[...]
+        gh = gh1[...]
+        lo2Kbg = lo2 * sa * beta[...]
+        ub_new = ub - l * sa * jnp.sum(2.0 * bDh[...] * vh - bFh[...] * gh, -1)
         ub_new = (ub_new + lo2Kbg * u2b) / (one + lo2Kbg)
-        vh0 = (b[0] * (ub_new - u2b)[:, None] + bd[0] * vh
-               - 2.0 * bFh[0] * gh)
+        vh0 = (b[...] * (ub_new - u2b)[:, None] + bd[...] * vh
+               - 2.0 * bFh[...] * gh)
         gh_new = gh + 0.5 * (vh0 + vh)
 
         delta = ub_new - ub
         scat = jnp.dot(G.T, delta[:, None] * L, preferred_element_type=dtype)
         out_w[0] = win + scat
-        vh0_o[0] = vh0
-        gh_o[0] = gh_new
+        vh0_o[...] = vh0
+        gh_o[...] = gh_new
 
+    # block-shape rules: the last two dims must be (8k, 128k) aligned or
+    # equal the array dims — per-tile vectors go flat (T,) (T % 128 == 0) and
+    # coefficient blocks are (T, MMb) with MMb equal to the array dim
     win_map = lambda i, win_ids, first: (win_ids[i], 0, 0)
-    tile_map = lambda i, win_ids, first: (i, 0)
-    tile_map3 = lambda i, win_ids, first: (i, 0, 0)
+    vec_map = lambda i, win_ids, first: (i,)
+    mat_map = lambda i, win_ids, first: (i, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -179,54 +182,56 @@ def build_boundary_update(bt: BoundaryTiles, sc, n_elements, dtype=jnp.float32,
         in_specs=[
             pl.BlockSpec((1, WR, 128), win_map),      # unew windows
             pl.BlockSpec((1, WR, 128), win_map),      # u0 windows
-            pl.BlockSpec((1, T), tile_map),           # rows
-            pl.BlockSpec((1, T), tile_map),           # lanes
-            pl.BlockSpec((1, T), tile_map),           # ssaf
-            pl.BlockSpec((1, T), tile_map),           # beta
-            pl.BlockSpec((1, T, MMb), tile_map3),     # b
-            pl.BlockSpec((1, T, MMb), tile_map3),     # bd
-            pl.BlockSpec((1, T, MMb), tile_map3),     # bDh
-            pl.BlockSpec((1, T, MMb), tile_map3),     # bFh
-            pl.BlockSpec((1, T, MMb), tile_map3),     # vh1
-            pl.BlockSpec((1, T, MMb), tile_map3),     # gh1
+            pl.BlockSpec((T,), vec_map),              # rows
+            pl.BlockSpec((T,), vec_map),              # lanes
+            pl.BlockSpec((T,), vec_map),              # ssaf
+            pl.BlockSpec((T,), vec_map),              # beta
+            pl.BlockSpec((T, MMb), mat_map),          # b
+            pl.BlockSpec((T, MMb), mat_map),          # bd
+            pl.BlockSpec((T, MMb), mat_map),          # bDh
+            pl.BlockSpec((T, MMb), mat_map),          # bFh
+            pl.BlockSpec((T, MMb), mat_map),          # vh1
+            pl.BlockSpec((T, MMb), mat_map),          # gh1
         ],
         out_specs=[
             pl.BlockSpec((1, WR, 128), win_map),      # updated windows
-            pl.BlockSpec((1, T, MMb), tile_map3),     # vh0
-            pl.BlockSpec((1, T, MMb), tile_map3),     # gh_new
+            pl.BlockSpec((T, MMb), mat_map),          # vh0
+            pl.BlockSpec((T, MMb), mat_map),          # gh_new
         ],
     )
 
-    consts = {k: jnp.asarray(getattr(bt, k))
-              for k in ("rows", "lanes", "ssaf", "beta", "b", "bd",
-                        "bDh", "bFh")}
-    win_ids = jnp.asarray(bt.win_ids)
+    # node data must travel as explicit inputs through the caller's jit/scan
+    # (closure-captured device arrays are inlined into the serialized HLO,
+    # which breaks down at benchmark scale)
+    node_data = {}
+    for k in ("rows", "lanes", "ssaf", "beta"):
+        node_data[k] = getattr(bt, k).reshape(-1)
+    for k in ("b", "bd", "bDh", "bFh"):
+        node_data[k] = getattr(bt, k).reshape(-1, MMb)
+    win_ids = jnp.asarray(bt.win_ids)    # small: fine as constants
     first = jnp.asarray(bt.first)
 
-    @jax.jit
-    def update(unew, u0, vh1, gh1):
+    def update(unew, u0, vh1, gh1, nd):
+        """Traceable update; nd is the node_data pytree threaded by the caller."""
         shape = unew.shape
         uw = unew.reshape(NW, WR, 128)
         u0w = u0.reshape(NW, WR, 128)
-        vh1t = vh1.reshape(n_tiles, T, MMb)
-        gh1t = gh1.reshape(n_tiles, T, MMb)
         out_w, vh0, gh_new = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((NW, WR, 128), dtype),
-                jax.ShapeDtypeStruct((n_tiles, T, MMb), dtype),
-                jax.ShapeDtypeStruct((n_tiles, T, MMb), dtype),
+                jax.ShapeDtypeStruct((n_tiles * T, MMb), dtype),
+                jax.ShapeDtypeStruct((n_tiles * T, MMb), dtype),
             ],
             input_output_aliases={2: 0},  # out windows alias the unew input
             compiler_params=pltpu.CompilerParams(
                 has_side_effects=True,
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
-        )(win_ids, first, uw, u0w, consts["rows"], consts["lanes"],
-          consts["ssaf"], consts["beta"], consts["b"], consts["bd"],
-          consts["bDh"], consts["bFh"], vh1t, gh1t)
-        return (out_w.reshape(shape), vh0.reshape(-1, MMb),
-                gh_new.reshape(-1, MMb))
+        )(win_ids, first, uw, u0w, nd["rows"], nd["lanes"],
+          nd["ssaf"], nd["beta"], nd["b"], nd["bd"],
+          nd["bDh"], nd["bFh"], vh1, gh1)
+        return out_w.reshape(shape), vh0, gh_new
 
-    return update
+    return update, node_data

@@ -16,14 +16,16 @@ from pffdtd_tpu.io.h5 import MMb
 
 def _run_pallas_interpret(sim, nt, tile_x=8):
     data = EngineData(sim.consts, sim.vox, sim.comms, sim.mats,
-                      dtype=np.float32, pad_z=128, tile_x=tile_x)
-    step = build_step(data, backend="pallas", interpret=True)
+                      dtype=np.float32, pad_z=128, tile_x=tile_x,
+                      boundary_kernel=True)  # exercise the windowed kernel
+    step, C = build_step(data, backend="pallas", interpret=True)
     g = data.grid
     carry = (jnp.zeros(g.shape, np.float32), jnp.zeros(g.shape, np.float32),
-             jnp.zeros((data.Nbl, MMb), np.float32),
-             jnp.zeros((data.Nbl, MMb), np.float32))
+             jnp.zeros((data.Nbl_state, MMb), np.float32),
+             jnp.zeros((data.Nbl_state, MMb), np.float32))
     sigs = (data.in_sigs[:, :nt] / data.infac).T.astype(np.float32)
-    carry, ys = jax.lax.scan(step, carry, jnp.asarray(sigs))
+    carry, ys = jax.lax.scan(lambda c, x: step(c, x, C), carry,
+                             jnp.asarray(sigs))
     return np.float64(np.asarray(ys).T) * data.infac
 
 
