@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import functools
 from dataclasses import dataclass
+from pathlib import Path
 from typing import Any
 
 import numpy as np
@@ -547,21 +548,65 @@ class JaxEngine:
                     jnp.zeros((), d.dtype), jnp.zeros((), d.dtype))
         return (u0, u1, vh, gh)
 
-    def run(self, nt: int | None = None, verbose: bool = True):
-        """Run the full simulation; returns u_out (Nr, Nt) in float64."""
+    def run(self, nt: int | None = None, verbose: bool = True,
+            chunk: int | None = None, checkpoint_every: int | None = None,
+            checkpoint_path=None, resume: bool = False):
+        """Run the simulation; returns u_out (Nr, Nt) in float64.
+
+        chunk: run the scan in blocks of this many steps, printing a live
+        progress line per block (the reference's print_progress dashboard,
+        fdtd_common.h:106-190, reports the same total/instantaneous MVPS).
+        checkpoint_every/checkpoint_path: save the full wavefield state
+        (u0,u1,vh,gh + step counter) every N blocks; resume=True restarts
+        from the latest checkpoint — the reference has NO mid-simulation
+        checkpointing (SURVEY §5), a killed run restarts from t=0.
+        """
         import time
 
         d = self.data
         nt = self.Nt if nt is None else nt
-        sigs = (d.in_sigs[:, :nt] / d.infac).T.astype(d.dtype)  # (Nt, Ns)
-        carry = self.init_carry()
+        sigs_all = (d.in_sigs[:, :nt] / d.infac).T.astype(d.dtype)  # (Nt, Ns)
 
+        n0 = 0
+        carry = self.init_carry()
+        ys_parts = []
+        if resume and checkpoint_path and Path(checkpoint_path).exists():
+            carry, n0, ys_prev = self._load_checkpoint(checkpoint_path)
+            ys_parts.append(ys_prev)
+            if verbose:
+                print(f"--ENGINE(jax): resumed at step {n0}")
+
+        chunk = chunk or (nt - n0)
+        g = d.grid
+        npts = g.Nx * g.Ny * g.Nz
         t0 = time.perf_counter()
-        carry, ys = self._run_scan(carry, jnp.asarray(sigs),
-                                   self._step_consts)
-        ys = jax.tree.map(lambda a: np.asarray(jax.block_until_ready(a)), ys)
+        n = n0
+        blocks = 0
+        while n < nt:
+            m = min(chunk, nt - n)
+            tb = time.perf_counter()
+            carry, ys = self._run_scan(carry, jnp.asarray(sigs_all[n:n + m]),
+                                       self._step_consts)
+            ys = jax.tree.map(
+                lambda a: np.asarray(jax.block_until_ready(a)), ys)
+            ys_parts.append(ys)
+            n += m
+            blocks += 1
+            if verbose and n < nt:
+                dt_b = time.perf_counter() - tb
+                dt_tot = time.perf_counter() - t0
+                inst = npts * m / dt_b / 1e6
+                tot = npts * (n - n0) / dt_tot / 1e6
+                eta = (nt - n) * dt_tot / max(n - n0, 1)
+                print(f"--ENGINE(jax): {n}/{nt} "
+                      f"[{100 * n / nt:.0f}%] {inst:.1f} MVPS inst, "
+                      f"{tot:.1f} MVPS avg, ETA {eta:.1f}s", flush=True)
+            if (checkpoint_every and checkpoint_path
+                    and blocks % checkpoint_every == 0):
+                self._save_checkpoint(checkpoint_path, carry, n, ys_parts)
         t1 = time.perf_counter()
 
+        ys = jax.tree.map(lambda *a: np.concatenate(a, axis=0), *ys_parts)
         if self.energy_on:
             out_T, H, E_lost, E_in = ys
             self.H_tot = np.float64(H) * d.infac ** 2
@@ -571,14 +616,32 @@ class JaxEngine:
             out_T = ys
         self.u_out = np.float64(out_T.T) * d.infac
 
-        g = d.grid
-        npts = g.Nx * g.Ny * g.Nz
         self.elapsed = t1 - t0
-        self.mvps = npts * nt / self.elapsed / 1e6
+        self.mvps = npts * (nt - n0) / self.elapsed / 1e6
         if verbose:
-            print(f"--ENGINE(jax): {nt} steps over {npts / 1e6:.2f} Mvox in "
-                  f"{self.elapsed:.3f}s -> {self.mvps:.1f} MVPS")
+            print(f"--ENGINE(jax): {nt - n0} steps over {npts / 1e6:.2f} "
+                  f"Mvox in {self.elapsed:.3f}s -> {self.mvps:.1f} MVPS")
         return self.u_out
+
+    # ------------------------------------------------------- checkpointing
+    def _save_checkpoint(self, path, carry, n, ys_parts):
+        ys = jax.tree.map(lambda *a: np.concatenate(a, axis=0), *ys_parts)
+        flat = {f"carry{i}": np.asarray(c) for i, c in enumerate(carry)}
+        if isinstance(ys, tuple):
+            flat.update({f"ys{i}": np.asarray(y) for i, y in enumerate(ys)})
+        else:
+            flat["ys0"] = np.asarray(ys)
+        np.savez(path, n=n, ncarry=len(carry), **flat)
+
+    def _load_checkpoint(self, path):
+        z = np.load(path)
+        ncarry = int(z["ncarry"])
+        carry = tuple(jnp.asarray(z[f"carry{i}"]) for i in range(ncarry))
+        ys_keys = sorted(k for k in z.files if k.startswith("ys"))
+        ys = tuple(z[k] for k in ys_keys)
+        if len(ys) == 1:
+            ys = ys[0]
+        return carry, int(z["n"]), ys
 
     def energy_balance(self):
         from pffdtd_tpu.utils import rel_diff
