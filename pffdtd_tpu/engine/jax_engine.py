@@ -159,6 +159,7 @@ class EngineData:
         self.mat_rows = {k: rows[k].astype(self.dtype)
                          for k in ("b", "bd", "bDh", "bFh", "beta")}
         self.mat_rows_f64 = {k: rows[k] for k in ("D", "E", "F")}
+        self.mat_bnl = vox.mat_bn[lossy].astype(np.int32)
         self.Nbl_state = self.Nbl  # rows in the vh/gh state arrays
         self.btiles = None
         if boundary_kernel and self.Nbl:
@@ -167,7 +168,7 @@ class EngineData:
 
             flat = int(np.prod(self.grid.shape))
             self.btiles = partition_boundary(
-                self.bnl_ixyz, self.ssaf_bnl, self.mat_rows, flat,
+                self.bnl_ixyz, self.ssaf_bnl, self.mat_bnl, self.mc, flat,
                 dtype=self.dtype)
             self.Nbl_state = self.btiles.n_tiles * TILE_T
 
@@ -541,8 +542,12 @@ class JaxEngine:
         g = d.grid
         u0 = jnp.zeros(g.shape, d.dtype)
         u1 = jnp.zeros(g.shape, d.dtype)  # distinct buffers (donation)
-        vh = jnp.zeros((d.Nbl_state, MMb), d.dtype)
-        gh = jnp.zeros((d.Nbl_state, MMb), d.dtype)
+        # branch states: tile-order transposed (MMb, N) for the windowed
+        # kernel (lane-padding economics), (N, MMb) for the XLA path
+        vh_shape = ((MMb, d.Nbl_state) if d.btiles is not None
+                    else (d.Nbl_state, MMb))
+        vh = jnp.zeros(vh_shape, d.dtype)
+        gh = jnp.zeros(vh_shape, d.dtype)
         if self.energy_on:
             return (u0, u1, vh, gh, jnp.zeros(g.shape, d.dtype),
                     jnp.zeros((), d.dtype), jnp.zeros((), d.dtype))

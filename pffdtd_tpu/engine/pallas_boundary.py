@@ -13,16 +13,17 @@ window:
     VMEM  one-hot row/lane selection matrices built from iota (MXU matmuls:
           gather = G @ window, scatter = G^T @ delta) — exact in f32 since
           every product is value*1 or value*0
-          the (T, MMb) ODE branch update (pure VPU)
+          per-node material coefficients come from a one-hot lookup into the
+          tiny (Nmat+1, 4*MMb+1) table (the reference keeps them in GPU
+          constant memory, gpu_engine.h:66-78)
+          the (MMb, T) ODE branch update (pure VPU)
     HBM   the accumulated window flushes when the window id changes
           (the canonical revisiting-output reduction pattern)
 
-Per-node cost ~ 3*WR*128 MACs on the MXU; padding entries carry zero
-coefficients and row/lane 0, making their gathers and scatters no-ops.
-
-The ODE math is bit-identical to the XLA path (cpu_engine.h:362-405 /
-sim_fdtd.py:815-837 semantics): gathers select exactly one value, scatters
-add exact deltas.
+Branch states vh/gh are stored TRANSPOSED, (MMb, Nbl_pad): a (N, 12) layout
+would be lane-padded 12->128 on TPU (10.7x HBM blowup); (12, N) pads only
+the sublanes 12->16.  The ODE math is bit-identical to the XLA path
+(cpu_engine.h:362-405 / sim_fdtd.py:815-837 semantics).
 """
 
 from __future__ import annotations
@@ -44,25 +45,27 @@ TILE_T = 1024   # nodes per tile (1-D i32/f32 operands need 1024-aligned blocks)
 
 @dataclass
 class BoundaryTiles:
-    """Host-partitioned per-tile node data (all stacked over tiles)."""
+    """Host-partitioned per-tile node data."""
 
     n_tiles: int
     win_ids: np.ndarray      # (n_tiles,) i32
     first: np.ndarray        # (n_tiles,) i32, 1 = first tile of its window
-    rows: np.ndarray         # (n_tiles, T) i32 row within window
-    lanes: np.ndarray        # (n_tiles, T) i32
-    ssaf: np.ndarray         # (n_tiles, T)
-    beta: np.ndarray         # (n_tiles, T)
-    b: np.ndarray            # (n_tiles, T, MMb)
-    bd: np.ndarray
-    bDh: np.ndarray
-    bFh: np.ndarray
+    rows: np.ndarray         # (n_tiles*T,) i32 row within window
+    lanes: np.ndarray        # (n_tiles*T,) i32
+    ssaf: np.ndarray         # (n_tiles*T,)
+    mat: np.ndarray          # (n_tiles*T,) i32; Nmat = rigid/padding row
+    table: np.ndarray        # (Nmat+1, 4*MMb+1): b|bd|bDh|bFh|beta
     n_windows: int
+    node_slot: np.ndarray    # (Nbl,) position of each input node in tile order
 
 
-def partition_boundary(bnl_ixyz, ssaf, mat_rows, n_elements, dtype=np.float32,
-                       T: int = TILE_T) -> BoundaryTiles:
-    """Group sorted boundary nodes into window tiles of T nodes."""
+def partition_boundary(bnl_ixyz, ssaf, mat_bnl, mat_coeffs, n_elements,
+                       dtype=np.float32, T: int = TILE_T) -> BoundaryTiles:
+    """Group sorted boundary nodes into window tiles of T nodes.
+
+    mat_bnl: per-node material index (>= 0); mat_coeffs: MatCoeffs (rows
+    0..Nmat-1 real materials, row Nmat all-zero = rigid/padding).
+    """
     assert np.all(np.diff(bnl_ixyz) > 0), "bnl indices must be sorted/unique"
     wsize = WR * 128
     n_windows = -(-int(n_elements) // wsize)
@@ -88,52 +91,60 @@ def partition_boundary(bnl_ixyz, ssaf, mat_rows, n_elements, dtype=np.float32,
         i = j
 
     n_tiles = max(1, len(tiles))
+    Nm = mat_coeffs.b.shape[0] - 1  # rows 0..Nm-1 materials, Nm = rigid
+    table = np.zeros((Nm + 1, 4 * MMb + 1), dtype)
+    table[:, 0 * MMb:1 * MMb] = mat_coeffs.b
+    table[:, 1 * MMb:2 * MMb] = mat_coeffs.bd
+    table[:, 2 * MMb:3 * MMb] = mat_coeffs.bDh
+    table[:, 3 * MMb:4 * MMb] = mat_coeffs.bFh
+    table[:, 4 * MMb] = mat_coeffs.beta
+
     bt = BoundaryTiles(
         n_tiles=n_tiles,
         win_ids=np.zeros(n_tiles, np.int32),
         first=np.ones(n_tiles, np.int32),
-        rows=np.zeros((n_tiles, T), np.int32),
-        lanes=np.zeros((n_tiles, T), np.int32),
-        ssaf=np.zeros((n_tiles, T), dtype),
-        beta=np.zeros((n_tiles, T), dtype),
-        b=np.zeros((n_tiles, T, MMb), dtype),
-        bd=np.zeros((n_tiles, T, MMb), dtype),
-        bDh=np.zeros((n_tiles, T, MMb), dtype),
-        bFh=np.zeros((n_tiles, T, MMb), dtype),
+        rows=np.zeros(n_tiles * T, np.int32),
+        lanes=np.zeros(n_tiles * T, np.int32),
+        ssaf=np.zeros(n_tiles * T, dtype),
+        mat=np.full(n_tiles * T, Nm, np.int32),  # padding -> rigid row
+        table=table,
         n_windows=n_windows,
+        node_slot=np.zeros(N, np.int64),
     )
     for ti, (w, first, sl) in enumerate(tiles):
         n = sl.stop - sl.start
+        s0 = ti * T
         bt.win_ids[ti] = w
         bt.first[ti] = first
-        bt.rows[ti, :n] = rows[sl]
-        bt.lanes[ti, :n] = lanes[sl]
-        bt.ssaf[ti, :n] = ssaf[sl]
-        bt.beta[ti, :n] = mat_rows["beta"][sl]
-        for name in ("b", "bd", "bDh", "bFh"):
-            getattr(bt, name)[ti, :n] = mat_rows[name][sl]
+        bt.rows[s0:s0 + n] = rows[sl]
+        bt.lanes[s0:s0 + n] = lanes[sl]
+        bt.ssaf[s0:s0 + n] = ssaf[sl]
+        bt.mat[s0:s0 + n] = mat_bnl[sl]
+        bt.node_slot[sl] = np.arange(s0, s0 + n)
     return bt
 
 
 def build_boundary_update(bt: BoundaryTiles, sc, n_elements, dtype=jnp.float32,
                           T: int = TILE_T, interpret: bool = False):
-    """Returns fn(unew, u0, vh1, gh1) -> (unew', vh0, gh_new).
+    """Returns (update, node_data): update(unew, u0, vh1, gh1, nd) ->
+    (unew', vh0, gh_new).
 
-    unew/u0 are flat-viewable grids of n_elements (padded to whole windows by
-    the caller's layout: n_elements must be a multiple of WR*128); vh1/gh1
-    are (n_tiles*T, MMb) in tile order.
+    unew/u0: flat grids of n_elements (a multiple of WR*128); vh1/gh1:
+    (MMb, n_tiles*T) in tile order.  node_data must be threaded through the
+    caller's jit as explicit inputs.
     """
     wsize = WR * 128
     assert n_elements % wsize == 0
     NW = n_elements // wsize
     n_tiles = bt.n_tiles
+    NmT = bt.table.shape[0]
     npdt = np.float32 if dtype == jnp.float32 else np.float64
     l = npdt(sc.l)
     lo2 = npdt(sc.lo2)
     one = npdt(1.0)
 
-    def kernel(win_ids, first, uw, u0w, rows, lanes, ssaf, beta,
-               b, bd, bDh, bFh, vh1, gh1, out_w, vh0_o, gh_o):
+    def kernel(win_ids, first, uw, u0w, rows, lanes, ssaf, mat, table,
+               vh1, gh1, out_w, vh0_o, gh_o):
         i = pl.program_id(0)
 
         @pl.when(first[i] == 1)
@@ -153,14 +164,23 @@ def build_boundary_update(bt: BoundaryTiles, sc, n_elements, dtype=jnp.float32,
         picked0 = jnp.dot(G, u0w[0], preferred_element_type=dtype)
         u2b = jnp.sum(picked0 * L, -1)
 
+        # material coefficients via one-hot table lookup (T, 4*MMb+1)
+        M = (jax.lax.broadcasted_iota(jnp.int32, (T, NmT), 1)
+             == mat[...][:, None]).astype(dtype)
+        co = jnp.dot(M, table[...], preferred_element_type=dtype)
+        b = co[:, 0 * MMb:1 * MMb].T      # (MMb, T)
+        bd = co[:, 1 * MMb:2 * MMb].T
+        bDh = co[:, 2 * MMb:3 * MMb].T
+        bFh = co[:, 3 * MMb:4 * MMb].T
+        beta = co[:, 4 * MMb]             # (T,)
+
         sa = ssaf[...]
-        vh = vh1[...]
+        vh = vh1[...]                     # (MMb, T)
         gh = gh1[...]
-        lo2Kbg = lo2 * sa * beta[...]
-        ub_new = ub - l * sa * jnp.sum(2.0 * bDh[...] * vh - bFh[...] * gh, -1)
+        lo2Kbg = lo2 * sa * beta
+        ub_new = ub - l * sa * jnp.sum(2.0 * bDh * vh - bFh * gh, 0)
         ub_new = (ub_new + lo2Kbg * u2b) / (one + lo2Kbg)
-        vh0 = (b[...] * (ub_new - u2b)[:, None] + bd[...] * vh
-               - 2.0 * bFh[...] * gh)
+        vh0 = b * (ub_new - u2b)[None, :] + bd * vh - 2.0 * bFh * gh
         gh_new = gh + 0.5 * (vh0 + vh)
 
         delta = ub_new - ub
@@ -169,12 +189,10 @@ def build_boundary_update(bt: BoundaryTiles, sc, n_elements, dtype=jnp.float32,
         vh0_o[...] = vh0
         gh_o[...] = gh_new
 
-    # block-shape rules: the last two dims must be (8k, 128k) aligned or
-    # equal the array dims — per-tile vectors go flat (T,) (T % 128 == 0) and
-    # coefficient blocks are (T, MMb) with MMb equal to the array dim
     win_map = lambda i, win_ids, first: (win_ids[i], 0, 0)
     vec_map = lambda i, win_ids, first: (i,)
-    mat_map = lambda i, win_ids, first: (i, 0)
+    st_map = lambda i, win_ids, first: (0, i)      # (MMb, T) state blocks
+    tbl_map = lambda i, win_ids, first: (0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -185,34 +203,27 @@ def build_boundary_update(bt: BoundaryTiles, sc, n_elements, dtype=jnp.float32,
             pl.BlockSpec((T,), vec_map),              # rows
             pl.BlockSpec((T,), vec_map),              # lanes
             pl.BlockSpec((T,), vec_map),              # ssaf
-            pl.BlockSpec((T,), vec_map),              # beta
-            pl.BlockSpec((T, MMb), mat_map),          # b
-            pl.BlockSpec((T, MMb), mat_map),          # bd
-            pl.BlockSpec((T, MMb), mat_map),          # bDh
-            pl.BlockSpec((T, MMb), mat_map),          # bFh
-            pl.BlockSpec((T, MMb), mat_map),          # vh1
-            pl.BlockSpec((T, MMb), mat_map),          # gh1
+            pl.BlockSpec((T,), vec_map),              # mat
+            pl.BlockSpec(bt.table.shape, tbl_map),    # coefficient table
+            pl.BlockSpec((MMb, T), st_map),           # vh1
+            pl.BlockSpec((MMb, T), st_map),           # gh1
         ],
         out_specs=[
             pl.BlockSpec((1, WR, 128), win_map),      # updated windows
-            pl.BlockSpec((T, MMb), mat_map),          # vh0
-            pl.BlockSpec((T, MMb), mat_map),          # gh_new
+            pl.BlockSpec((MMb, T), st_map),           # vh0
+            pl.BlockSpec((MMb, T), st_map),           # gh_new
         ],
     )
 
-    # node data must travel as explicit inputs through the caller's jit/scan
-    # (closure-captured device arrays are inlined into the serialized HLO,
-    # which breaks down at benchmark scale)
-    node_data = {}
-    for k in ("rows", "lanes", "ssaf", "beta"):
-        node_data[k] = getattr(bt, k).reshape(-1)
-    for k in ("b", "bd", "bDh", "bFh"):
-        node_data[k] = getattr(bt, k).reshape(-1, MMb)
+    node_data = {
+        "rows": bt.rows, "lanes": bt.lanes, "ssaf": bt.ssaf, "mat": bt.mat,
+        "table": bt.table,
+    }
     win_ids = jnp.asarray(bt.win_ids)    # small: fine as constants
     first = jnp.asarray(bt.first)
 
     def update(unew, u0, vh1, gh1, nd):
-        """Traceable update; nd is the node_data pytree threaded by the caller."""
+        """Traceable; nd is the node_data pytree threaded by the caller."""
         shape = unew.shape
         uw = unew.reshape(NW, WR, 128)
         u0w = u0.reshape(NW, WR, 128)
@@ -221,17 +232,17 @@ def build_boundary_update(bt: BoundaryTiles, sc, n_elements, dtype=jnp.float32,
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((NW, WR, 128), dtype),
-                jax.ShapeDtypeStruct((n_tiles * T, MMb), dtype),
-                jax.ShapeDtypeStruct((n_tiles * T, MMb), dtype),
+                jax.ShapeDtypeStruct((MMb, n_tiles * T), dtype),
+                jax.ShapeDtypeStruct((MMb, n_tiles * T), dtype),
             ],
-            input_output_aliases={2: 0},  # out windows alias the unew input
+            # out windows alias unew; new branch states alias the old ones
+            input_output_aliases={2: 0, 9: 1, 10: 2},
             compiler_params=pltpu.CompilerParams(
                 has_side_effects=True,
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
         )(win_ids, first, uw, u0w, nd["rows"], nd["lanes"],
-          nd["ssaf"], nd["beta"], nd["b"], nd["bd"],
-          nd["bDh"], nd["bFh"], vh1, gh1)
+          nd["ssaf"], nd["mat"], nd["table"], vh1, gh1)
         return out_w.reshape(shape), vh0, gh_new
 
     return update, node_data

@@ -1,0 +1,160 @@
+"""Visualization: wavefield slices, boundary-node scatter, RIR plots.
+
+Reference parity: the Python engine's live 3-slice view (sim_fdtd.py:321-527,
+mayavi/matplotlib), the voxelization debug draw (vox_scene.py:531-601) and
+the processed-output plots (process_outputs.py:207-269).  This module uses
+matplotlib only (headless-safe via the Agg backend) and can render live or
+save PNG frames; FCC checkerboard holes are filled by neighbour averaging
+(sim_fdtd.py:889-895).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from pffdtd_tpu.utils import ind2sub3d
+
+
+def _plt():
+    import matplotlib
+
+    if matplotlib.get_backend().lower() not in ("tkagg", "qtagg", "macosx"):
+        matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    return plt
+
+
+def fcc_fill_plot_holes(uslice, i3):
+    """Fill the FCC checkerboard holes by 4-neighbour averaging."""
+    u = uslice.copy()
+    n1, n2 = np.meshgrid(np.arange(u.shape[0]), np.arange(u.shape[1]),
+                         indexing="ij")
+    hole = (n1 + n2 + i3) % 2 == 1
+    avg = np.zeros_like(u)
+    avg[1:-1, 1:-1] = 0.25 * (u[2:, 1:-1] + u[:-2, 1:-1]
+                              + u[1:-1, 2:] + u[1:-1, :-2])
+    u[hole] = avg[hole]
+    return u
+
+
+def plot_wave_slices(u, vox, in_ixyz=None, fcc=False, fname=None, title=""):
+    """Three orthogonal slices of a wavefield through the source point."""
+    plt = _plt()
+    Nx, Ny, Nz = vox.Nx, vox.Ny, vox.Nz
+    u = np.asarray(u)[:Nx, :Ny, :Nz]
+    if in_ixyz is not None and len(in_ixyz):
+        ix, iy, iz = ind2sub3d(np.median(in_ixyz).astype(np.int64),
+                               Nx, Ny, Nz)
+    else:
+        ix, iy, iz = Nx // 2, Ny // 2, Nz // 2
+
+    slices = [
+        ("xy", u[:, :, iz], (vox.xv, vox.yv), iz),
+        ("xz", u[:, iy, :], (vox.xv, vox.zv), iy),
+        ("yz", u[ix, :, :], (vox.yv, vox.zv), ix),
+    ]
+    fig, axes = plt.subplots(1, 3, figsize=(14, 4.5))
+    cmax = max(np.abs(u).max(), 1e-30)
+    for ax, (name, sl, (v1, v2), i3) in zip(axes, slices):
+        if fcc:
+            sl = fcc_fill_plot_holes(sl, int(i3))
+        im = ax.imshow(sl.T, origin="lower", cmap="seismic",
+                       vmin=-1.1 * cmax, vmax=1.1 * cmax,
+                       extent=[v1[0], v1[-1], v2[0], v2[-1]], aspect="equal")
+        ax.set_title(f"{name}-plane")
+        ax.set_xlabel(name[0])
+        ax.set_ylabel(name[1])
+    fig.colorbar(im, ax=axes, shrink=0.8)
+    fig.suptitle(title)
+    if fname:
+        fig.savefig(fname, dpi=110)
+        plt.close(fig)
+    return fig
+
+
+def plot_voxelization(vs, fname=None, max_pts=200000):
+    """3-D scatter of boundary nodes coloured by material."""
+    plt = _plt()
+    cg = vs.cg
+    ix, iy, iz = ind2sub3d(vs.bn_ixyz, cg.Nx, cg.Ny, cg.Nz)
+    if ix.size > max_pts:
+        sel = np.random.default_rng(0).choice(ix.size, max_pts, replace=False)
+        ix, iy, iz, mat = ix[sel], iy[sel], iz[sel], vs.mat_bn[sel]
+    else:
+        mat = vs.mat_bn
+    fig = plt.figure(figsize=(9, 7))
+    ax = fig.add_subplot(projection="3d")
+    sc = ax.scatter(cg.xv[ix], cg.yv[iy], cg.zv[iz], c=mat, s=2,
+                    cmap="tab10", alpha=0.6)
+    fig.colorbar(sc, ax=ax, label="material index (-1 = rigid)")
+    ax.set_xlabel("x")
+    ax.set_ylabel("y")
+    ax.set_zlabel("z")
+    if fname:
+        fig.savefig(fname, dpi=110)
+        plt.close(fig)
+    return fig
+
+
+def plot_rirs(r_out, Fs, fname=None):
+    """Time traces + magnitude spectra of processed RIRs."""
+    plt = _plt()
+    r = np.atleast_2d(r_out)
+    tv = np.arange(r.shape[-1]) / Fs
+    nfft = int(2 ** np.ceil(np.log2(r.shape[-1])))
+    fv = np.arange(nfft // 2 + 1) / nfft * Fs
+    spec = 20 * np.log10(np.abs(np.fft.rfft(r, nfft, axis=-1)) + 1e-30)
+
+    fig, (a1, a2) = plt.subplots(2, 1, figsize=(9, 7))
+    for i in range(r.shape[0]):
+        a1.plot(tv, r[i], lw=0.7, label=f"R{i + 1}")
+        a2.semilogx(fv[1:], spec[i, 1:], lw=0.7, label=f"R{i + 1}")
+    a1.set_xlabel("time (s)")
+    a2.set_xlabel("frequency (Hz)")
+    a2.set_ylabel("dB")
+    a2.set_ylim(spec.max() - 80, spec.max() + 6)
+    a1.legend(fontsize=7)
+    if fname:
+        fig.savefig(fname, dpi=110)
+        plt.close(fig)
+    return fig
+
+
+def render_animation(engine, frames=20, steps_per_frame=None, out_dir="frames",
+                     fcc=False):
+    """Run the engine in blocks, saving a slice snapshot per block (the
+    reference's run_plot loop, sim_fdtd.py:468-527, as offline frames)."""
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    d = engine.data
+    nt = engine.Nt
+    spf = steps_per_frame or max(1, nt // frames)
+    sigs = (d.in_sigs / d.infac).T.astype(d.dtype)
+    import jax.numpy as jnp
+
+    carry = engine.init_carry()
+    n = 0
+    k = 0
+    files = []
+    while n < nt:
+        m = min(spf, nt - n)
+        carry, _ = engine._run_scan(carry, jnp.asarray(sigs[n:n + m]),
+                                    engine._step_consts)
+        n += m
+        u1 = np.asarray(carry[1]) * d.infac
+
+        class _V:  # adapt padded grid arrays for plotting
+            Nx, Ny, Nz = d.grid.Nx, d.grid.Ny, d.grid.Nz
+            xv = np.arange(d.grid.Nx)
+            yv = np.arange(d.grid.Ny)
+            zv = np.arange(d.grid.Nz)
+
+        f = out_dir / f"frame_{k:04d}.png"
+        plot_wave_slices(u1, _V, in_ixyz=None, fcc=fcc, fname=f,
+                         title=f"step {n}")
+        files.append(f)
+        k += 1
+    return files
