@@ -279,17 +279,25 @@ def build_step(data: EngineData, energy: bool = False,
     # closure-captured device array would be inlined into the serialized HLO,
     # which breaks down at benchmark scale); build_step returns (step, consts)
     # and step has signature step(carry, sig_n, consts)
+    # only what the chosen configuration actually reads goes in (unused
+    # entries would still be transferred to the device on every call)
     consts = {
-        "bn": np.asarray(data.bn_ixyz),
-        "bn_nbr": np.asarray(data.bn_nbr),
-        "bn_cut": np.asarray(data.bn_cut),
-        "bn_ncut": np.asarray(data.bn_ncut),
-        "bnl": np.asarray(data.bnl_ixyz),
-        "ssaf": np.asarray(data.ssaf_bnl),
-        "mrows": {k: np.asarray(v) for k, v in data.mat_rows.items()},
         "in_ixyz": np.asarray(data.in_ixyz),
         "out_ixyz": np.asarray(data.out_ixyz),
     }
+    if rigid == "sparse" or energy:
+        consts.update({
+            "bn": np.asarray(data.bn_ixyz),
+            "bn_nbr": np.asarray(data.bn_nbr),
+            "bn_cut": np.asarray(data.bn_cut),
+            "bn_ncut": np.asarray(data.bn_ncut),
+        })
+    if data.Nbl and (backend != "pallas" or data.btiles is None or energy):
+        consts.update({
+            "bnl": np.asarray(data.bnl_ixyz),
+            "ssaf": np.asarray(data.ssaf_bnl),
+            "mrows": {k: np.asarray(v) for k, v in data.mat_rows.items()},
+        })
     abc_regions = _abc_regions(g)
 
     if energy:
@@ -321,12 +329,11 @@ def build_step(data: EngineData, energy: bool = False,
         fused = build_fused_stencil(g, sc, data.fcc, dtype=jdt,
                                     TX=data.tile_x or 8, interpret=interpret)
 
-        def _lossy_xla(u0, unew, vh1, gh1, C):
+        def _lossy_xla(u2b, unew, vh1, gh1, C):
             unew_f = unew.reshape(-1)
             vh0, gh_new = vh1, gh1
             if data.Nbl:
                 bnl, ssaf, mrows = C["bnl"], C["ssaf"], C["mrows"]
-                u2b = u0.reshape(-1)[bnl]
                 ub = unew_f[bnl]
                 lo2Kbg = lo2 * ssaf * mrows["beta"]
                 ub = ub - l * ssaf * jnp.sum(
@@ -349,23 +356,33 @@ def build_step(data: EngineData, energy: bool = False,
             consts["bnode"] = node_data
 
         def step_pallas(carry, sig_n, C):
-            u0, u1, vh1, gh1 = carry
+            # carry holds a packed copy of the previous step's boundary-node
+            # values (u2bp) so nothing ever re-reads u0 after the stencil
+            # kernel destroys its buffer (output aliasing); the ABC face
+            # slices are extracted from u0 BEFORE the kernel for the same
+            # reason (a post-kernel read would force a full-grid copy)
+            u0, u1, vh1, gh1, (u2b_old, u2b_cur) = carry
+            u0_bnl = (u0.reshape(-1)[C["bnl"]]
+                      if (lossy_update is None and data.Nbl) else None)
+            # flips + masked stencil + leapfrog + ABC, one fused HBM pass
+            # (u0's buffer is destroyed by output aliasing — nothing reads
+            # u0 afterwards: lossy u2b comes from the packed carry)
             unew = fused(u1, u0, C["adj_grid"])
-            # ABC: disjoint uniform-Q slice regions (cheap O(N^2) XLA work)
-            for sl, Q in abc_regions:
-                lQ = dtype.type(sc.l * Q)
-                unew = unew.at[sl].set((unew[sl] + lQ * u0[sl]) / (1.0 + lQ))
+            u2b_pair = (u2b_old, u2b_cur)
             if lossy_update is not None:
-                unew_f, vh0, gh_new = lossy_update(
-                    unew.reshape(-1), u0.reshape(-1), vh1, gh1, C["bnode"])
+                # u2b is u^{n-1} at the nodes = the boundary output from TWO
+                # steps back (this step computes u^{n+1}): 2-deep pipeline
+                unew_f, u2b_new, vh0, gh_new = lossy_update(
+                    unew.reshape(-1), u2b_old, vh1, gh1, C["bnode"])
                 unew = unew_f.reshape(g.shape)
+                u2b_pair = (u2b_cur, u2b_new)
             else:
-                unew, vh0, gh_new = _lossy_xla(u0, unew, vh1, gh1, C)
+                unew, vh0, gh_new = _lossy_xla(u0_bnl, unew, vh1, gh1, C)
             unew_f = unew.reshape(-1)
             unew_f = unew_f.at[C["in_ixyz"]].add(sig_n.astype(dtype))
             unew = unew_f.reshape(g.shape)
             out_n = u1.reshape(-1)[C["out_ixyz"]]
-            return (u1, unew, vh0, gh_new), out_n
+            return (u1, unew, vh0, gh_new, u2b_pair), out_n
 
         return step_pallas, consts
 
@@ -526,7 +543,8 @@ class JaxEngine:
         self.Nt = self.data.Nt
         step, step_consts = build_step(self.data, energy=energy_on,
                                        rigid=rigid, backend=backend)
-        self._step_consts = step_consts
+        # device-resident once: repeated run() calls must not re-upload
+        self._step_consts = jax.tree.map(jnp.asarray, step_consts)
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def run_scan(carry, sigs_T, C):
@@ -551,6 +569,12 @@ class JaxEngine:
         if self.energy_on:
             return (u0, u1, vh, gh, jnp.zeros(g.shape, d.dtype),
                     jnp.zeros((), d.dtype), jnp.zeros((), d.dtype))
+        if self.backend == "pallas":
+            # packed boundary-node values of the two previous steps
+            # (zeros == the zero initial condition)
+            npk = d.Nbl_state if d.btiles is not None else 1
+            return (u0, u1, vh, gh, (jnp.zeros((npk,), d.dtype),
+                                     jnp.zeros((npk,), d.dtype)))
         return (u0, u1, vh, gh)
 
     def run(self, nt: int | None = None, verbose: bool = True,
@@ -631,17 +655,18 @@ class JaxEngine:
     # ------------------------------------------------------- checkpointing
     def _save_checkpoint(self, path, carry, n, ys_parts):
         ys = jax.tree.map(lambda *a: np.concatenate(a, axis=0), *ys_parts)
-        flat = {f"carry{i}": np.asarray(c) for i, c in enumerate(carry)}
-        if isinstance(ys, tuple):
-            flat.update({f"ys{i}": np.asarray(y) for i, y in enumerate(ys)})
-        else:
-            flat["ys0"] = np.asarray(ys)
-        np.savez(path, n=n, ncarry=len(carry), **flat)
+        cflat, _ = jax.tree.flatten(carry)
+        flat = {f"carry{i}": np.asarray(c) for i, c in enumerate(cflat)}
+        yflat, _ = jax.tree.flatten(ys)
+        flat.update({f"ys{i:02d}": np.asarray(y) for i, y in enumerate(yflat)})
+        np.savez(path, n=n, **flat)
 
     def _load_checkpoint(self, path):
         z = np.load(path)
-        ncarry = int(z["ncarry"])
-        carry = tuple(jnp.asarray(z[f"carry{i}"]) for i in range(ncarry))
+        _, ctree = jax.tree.flatten(self.init_carry())
+        nc = ctree.num_leaves
+        carry = jax.tree.unflatten(
+            ctree, [jnp.asarray(z[f"carry{i}"]) for i in range(nc)])
         ys_keys = sorted(k for k in z.files if k.startswith("ys"))
         ys = tuple(z[k] for k in ys_keys)
         if len(ys) == 1:

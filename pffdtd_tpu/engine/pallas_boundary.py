@@ -143,8 +143,8 @@ def build_boundary_update(bt: BoundaryTiles, sc, n_elements, dtype=jnp.float32,
     lo2 = npdt(sc.lo2)
     one = npdt(1.0)
 
-    def kernel(win_ids, first, uw, u0w, rows, lanes, ssaf, mat, table,
-               vh1, gh1, out_w, vh0_o, gh_o):
+    def kernel(win_ids, first, uw, u2b_in, rows, lanes, ssaf, mat, table,
+               vh1, gh1, out_w, ub_o, vh0_o, gh_o):
         i = pl.program_id(0)
 
         @pl.when(first[i] == 1)
@@ -161,8 +161,10 @@ def build_boundary_update(bt: BoundaryTiles, sc, n_elements, dtype=jnp.float32,
 
         picked = jnp.dot(G, win, preferred_element_type=dtype)   # (T, 128)
         ub = jnp.sum(picked * L, -1)
-        picked0 = jnp.dot(G, u0w[0], preferred_element_type=dtype)
-        u2b = jnp.sum(picked0 * L, -1)
+        # u^{n-1} at the nodes is the previous step's packed output (carried
+        # by the engine), NOT re-gathered from u0 — saves a window stream and
+        # lets the stencil kernel alias/destroy u0
+        u2b = u2b_in[...]
 
         # material coefficients via one-hot table lookup (T, 4*MMb+1)
         M = (jax.lax.broadcasted_iota(jnp.int32, (T, NmT), 1)
@@ -186,6 +188,7 @@ def build_boundary_update(bt: BoundaryTiles, sc, n_elements, dtype=jnp.float32,
         delta = ub_new - ub
         scat = jnp.dot(G.T, delta[:, None] * L, preferred_element_type=dtype)
         out_w[0] = win + scat
+        ub_o[...] = ub_new
         vh0_o[...] = vh0
         gh_o[...] = gh_new
 
@@ -199,7 +202,7 @@ def build_boundary_update(bt: BoundaryTiles, sc, n_elements, dtype=jnp.float32,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((1, WR, 128), win_map),      # unew windows
-            pl.BlockSpec((1, WR, 128), win_map),      # u0 windows
+            pl.BlockSpec((T,), vec_map),              # u2b (packed, carried)
             pl.BlockSpec((T,), vec_map),              # rows
             pl.BlockSpec((T,), vec_map),              # lanes
             pl.BlockSpec((T,), vec_map),              # ssaf
@@ -210,6 +213,7 @@ def build_boundary_update(bt: BoundaryTiles, sc, n_elements, dtype=jnp.float32,
         ],
         out_specs=[
             pl.BlockSpec((1, WR, 128), win_map),      # updated windows
+            pl.BlockSpec((T,), vec_map),              # ub (next step's u2b)
             pl.BlockSpec((MMb, T), st_map),           # vh0
             pl.BlockSpec((MMb, T), st_map),           # gh_new
         ],
@@ -222,27 +226,30 @@ def build_boundary_update(bt: BoundaryTiles, sc, n_elements, dtype=jnp.float32,
     win_ids = jnp.asarray(bt.win_ids)    # small: fine as constants
     first = jnp.asarray(bt.first)
 
-    def update(unew, u0, vh1, gh1, nd):
-        """Traceable; nd is the node_data pytree threaded by the caller."""
+    def update(unew, u2b, vh1, gh1, nd):
+        """Traceable; nd is the node_data pytree threaded by the caller.
+
+        u2b: (n_tiles*T,) packed node values of the previous step (the
+        engine carries this; zeros at t=0 matches u0=0)."""
         shape = unew.shape
         uw = unew.reshape(NW, WR, 128)
-        u0w = u0.reshape(NW, WR, 128)
-        out_w, vh0, gh_new = pl.pallas_call(
+        out_w, ub, vh0, gh_new = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((NW, WR, 128), dtype),
+                jax.ShapeDtypeStruct((n_tiles * T,), dtype),
                 jax.ShapeDtypeStruct((MMb, n_tiles * T), dtype),
                 jax.ShapeDtypeStruct((MMb, n_tiles * T), dtype),
             ],
-            # out windows alias unew; new branch states alias the old ones
-            input_output_aliases={2: 0, 9: 1, 10: 2},
+            # out windows alias unew; u2b/vh/gh alias their inputs
+            input_output_aliases={2: 0, 3: 1, 9: 2, 10: 3},
             compiler_params=pltpu.CompilerParams(
                 has_side_effects=True,
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
-        )(win_ids, first, uw, u0w, nd["rows"], nd["lanes"],
+        )(win_ids, first, uw, u2b, nd["rows"], nd["lanes"],
           nd["ssaf"], nd["mat"], nd["table"], vh1, gh1)
-        return out_w.reshape(shape), vh0, gh_new
+        return out_w.reshape(shape), ub, vh0, gh_new
 
     return update, node_data

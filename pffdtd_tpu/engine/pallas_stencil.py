@@ -16,9 +16,11 @@ rolls are free — the kernel is DMA-bound (measured ~equal to a pure-copy
 kernel of the same structure).
 
 ABC and the lossy-impedance updates are applied OUTSIDE the kernel (thin XLA
-slice/sparse ops).  Halo/pad positions of the output may hold stale values:
-the mirror flips rebuild every halo from interior data at the start of each
-step, so stale halos never feed a live node.  The output aliases u0's buffer.
+slice/sparse ops).  The output does NOT alias u0: the step reads thin u0
+face slices after the kernel (ABC), and aliasing would force XLA to copy the
+whole grid every step to keep u0 alive.  The few rows the tile loop never
+computes (global row 0 and the x padding tail) are filled from u0 by two
+small HBM->HBM DMAs so the output buffer is always fully defined.
 """
 
 from __future__ import annotations
@@ -80,8 +82,7 @@ def build_fused_stencil(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
     # slab rows cover global [t*TX, t*TX+TX+1]; local slab idx of gx is gx-t*TX
 
     def kernel(u1_h, u0_h, adj_h, out_h):
-        def body(slab, u0b, adjb, outb, sem_in, sem_out):
-            n_in = 3
+        def body(slab, u0b, adjb, outb, sem_in, sem_out, sem_pre):
 
             def start_in(t, slot):
                 rs = t * TX
@@ -115,6 +116,18 @@ def build_fused_stencil(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                 return pltpu.make_async_copy(
                     outb.at[slot], out_h.at[pl.ds(t * TX + 1, TX)],
                     sem_out.at[slot])
+
+            # rows this kernel never computes (the low halo row and the x
+            # padding tail) are filled from u0 via direct HBM->HBM DMAs so
+            # the output buffer is fully defined without aliasing u0
+            pre0 = pltpu.make_async_copy(
+                u0_h.at[pl.ds(0, 1)], out_h.at[pl.ds(0, 1)], sem_pre.at[0])
+            pre1 = pltpu.make_async_copy(
+                u0_h.at[pl.ds(NXT * TX + 1, Nxp - NXT * TX - 1)],
+                out_h.at[pl.ds(NXT * TX + 1, Nxp - NXT * TX - 1)],
+                sem_pre.at[1])
+            pre0.start()
+            pre1.start()
 
             start_in(0, 0)
 
@@ -176,6 +189,48 @@ def build_fused_stencil(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
 
                 outb[slot] = unew
 
+                # ---- ABC fused as thin slice updates on the output block:
+                # disjoint regions (y faces carry the z/x extremeness in Q;
+                # z faces carry x; x faces are the pure-Q=1 remainder), all
+                # fed by the pre-update u0 already resident in VMEM
+                w1 = npdt(abc_w[1])
+                w2 = npdt(abc_w[2])
+                w3 = npdt(abc_w[3])
+                lv = npdt(l_)
+                gz1 = jax.lax.broadcasted_iota(jnp.int32, (TX, Nzp), 1)
+                zext = ((gz1 == 1) | (gz1 == Nz - 2)).astype(jnp.int32)
+                gx1 = (jax.lax.broadcasted_iota(jnp.int32, (TX, Nzp), 0)
+                       + t * TX + 1)
+                xext = ((gx1 == 1) | (gx1 == Nx - 2)).astype(jnp.int32)
+                ylo = 2
+                yhi = Ny - 1 if folded else Ny - 2
+                y_faces = (1,) if folded else (1, Ny - 2)
+                for yf in y_faces:
+                    q = zext + xext + 1
+                    qf = q.astype(dtype)
+                    w = jnp.where(q == 1, w1, jnp.where(q == 2, w2, w3))
+                    vals = outb[slot, :, yf, :]
+                    outb[slot, :, yf, :] = (vals + lv * qf
+                                            * u0c[:, yf, :]) * w
+                gx2 = (jax.lax.broadcasted_iota(
+                    jnp.int32, (TX, yhi - ylo), 0) + t * TX + 1)
+                xext2 = ((gx2 == 1) | (gx2 == Nx - 2)).astype(jnp.int32)
+                for zf in (1, Nz - 2):
+                    q = xext2 + 1
+                    qf = q.astype(dtype)
+                    w = jnp.where(q == 1, w1, w2)
+                    vals = outb[slot, :, ylo:yhi, zf]
+                    outb[slot, :, ylo:yhi, zf] = (vals + lv * qf
+                                                  * u0c[:, ylo:yhi, zf]) * w
+                for r in range(TX):
+                    gx_r = t * TX + 1 + r
+
+                    @pl.when((gx_r == 1) | (gx_r == Nx - 2))
+                    def _(r=r):
+                        vals = outb[slot, r, ylo:yhi, 2:Nz - 2]
+                        outb[slot, r, ylo:yhi, 2:Nz - 2] = (
+                            vals + lv * u0c[r, ylo:yhi, 2:Nz - 2]) * w1
+
                 # NOTE: ABC and halo handling happen OUTSIDE this kernel as
                 # cheap XLA slice updates (O(N^2) work); halo/pad positions in
                 # HBM may hold stale values — the mirror flips rebuild every
@@ -184,12 +239,14 @@ def build_fused_stencil(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                 out_copy(t, slot).start()
 
             jax.lax.fori_loop(0, NXT, loop, None, unroll=False)
-            # drain the last two output DMAs
+            # drain the last two output DMAs + the halo/pad row fills
             @pl.when(NXT >= 2)
             def _():
                 out_copy(NXT - 2, (NXT - 2) % 2).wait()
 
             out_copy(NXT - 1, (NXT - 1) % 2).wait()
+            pre0.wait()
+            pre1.wait()
 
         adt = jnp.uint16 if NN == 12 else jnp.uint8
         pl.run_scoped(
@@ -200,6 +257,7 @@ def build_fused_stencil(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
             outb=pltpu.VMEM((2, TX, Nyp, Nzp), dtype),
             sem_in=pltpu.SemaphoreType.DMA((2, 3)),
             sem_out=pltpu.SemaphoreType.DMA((2,)),
+            sem_pre=pltpu.SemaphoreType.DMA((2,)),
         )
 
     adt = jnp.uint16 if NN == 12 else jnp.uint8

@@ -22,8 +22,10 @@ def _run_pallas_interpret(sim, nt, tile_x=8):
     g = data.grid
     vh_shape = ((MMb, data.Nbl_state) if data.btiles is not None
                 else (data.Nbl_state, MMb))
+    npk = data.Nbl_state if data.btiles is not None else 1
     carry = (jnp.zeros(g.shape, np.float32), jnp.zeros(g.shape, np.float32),
-             jnp.zeros(vh_shape, np.float32), jnp.zeros(vh_shape, np.float32))
+             jnp.zeros(vh_shape, np.float32), jnp.zeros(vh_shape, np.float32),
+             (jnp.zeros((npk,), np.float32), jnp.zeros((npk,), np.float32)))
     sigs = (data.in_sigs[:, :nt] / data.infac).T.astype(np.float32)
     carry, ys = jax.lax.scan(lambda c, x: step(c, x, C), carry,
                              jnp.asarray(sigs))

@@ -85,3 +85,51 @@ def test_ctk_post_processing(ctk_folder):
         assert f["Fs_f"][()] == 48e3
     assert np.isfinite(r).all() and np.abs(r).max() > 0
     assert (ctk_folder / "R001_out_normalised.wav").exists()
+
+
+MV_MATS = {
+    "Floor": "mv_floor.h5",
+    "Chairs": "mv_chairs.h5",
+    "Plasterboard": "mv_plasterboard.h5",
+    "Window": "mv_window.h5",
+    "Wood": "mv_wood.h5",
+}
+
+
+def test_mv_fcc_folded_pipeline(tmp_path):
+    """Musikverein hall: interleaved-FCC oracle vs the rotate+fold+sort
+    prepared folder through the JAX engine (the reference's GPU prep path)."""
+    from pffdtd_tpu.engine.jax_engine import JaxEngine
+    from pffdtd_tpu.engine.numpy_ref import NumpyEngine
+    from pffdtd_tpu.geometry.room import RoomGeo
+    from pffdtd_tpu.geometry.scene_io import room_to_model_json
+    from pffdtd_tpu.io.h5 import read_comms
+    from pffdtd_tpu.scene_setup import sim_setup
+
+    rg = RoomGeo(str(REF / "models/Musikverein_ConcertHall/model_export.json"))
+    # the bundled receivers sit < 0.3 m from seats (fine at the reference's
+    # fmax >= 3.2 kHz, clashing at test resolution) — use near-source probes
+    src = rg.Sxyz[2]
+    cands = src + np.array([[2.5, 0.5, 0.5], [-2, 1, 1], [0, 2.5, 2]])
+    rg.Rxyz = np.asarray(
+        [r for r in cands
+         if np.linalg.norm(rg.tris_pre.cent - r, axis=-1).min() > 1.2])
+    assert len(rg.Rxyz) >= 2
+    room_to_model_json(tmp_path / "mv.json", rg)
+
+    a = tmp_path / "flag1"
+    b = tmp_path / "folded"
+    sim_setup(model_json_file=str(tmp_path / "mv.json"),
+              mat_folder=str(REF / "materials"), mat_files_dict=MV_MATS,
+              source_num=3, insig_type="hann10", diff_source=False,
+              duration=0.03, fcc_flag=True, PPW=5.6, fmax=300.0,
+              save_folder=str(a), save_folder_gpu=str(b))
+
+    o = NumpyEngine(str(a))
+    o.run_all()
+    j = JaxEngine(str(b), dtype=np.float64)
+    j.run(verbose=False)
+    r1 = o.u_out[read_comms(a).out_reorder]
+    r2 = j.u_out[read_comms(b).out_reorder]
+    assert np.abs(r1).max() > 0
+    assert np.abs(r1 - r2).max() / np.abs(r1).max() < 1e-10
