@@ -22,7 +22,13 @@ class CartGrid:
         xyzmin0 = bmin - offset * h
         xyzmax0 = bmax + offset * h
 
-        Nx, Ny, Nz = np.int_(np.ceil((xyzmax0 - xyzmin0) / h)) + 1
+        N3 = np.int_(np.ceil((xyzmax0 - xyzmin0) / h)) + 1
+        # guard the exact-division float edge: the last grid line must not
+        # fall short of the requested upper bound
+        for d in range(3):
+            while xyzmin0[d] + (N3[d] - 1) * h < xyzmax0[d]:
+                N3[d] += 1
+        Nx, Ny, Nz = N3
         if fcc:  # even dims so any axis can be folded
             Nx += Nx % 2
             Ny += Ny % 2
