@@ -39,7 +39,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from pffdtd_tpu.io.h5 import MMb
 
-WR = 128        # rows per window; window = WR * 128 grid elements
+import os
+
+# rows per window (window = WR * 128 grid elements); larger windows pack
+# node tiles better on sparse (floor-like) boundaries at the cost of bigger
+# one-hot gather matmuls
+WR = int(os.environ.get("PFFDTD_BOUNDARY_WR", "128"))
 TILE_T = 1024   # nodes per tile (1-D i32/f32 operands need 1024-aligned blocks)
 
 
@@ -221,16 +226,16 @@ def build_boundary_update(bt: BoundaryTiles, sc, n_elements, dtype=jnp.float32,
 
     node_data = {
         "rows": bt.rows, "lanes": bt.lanes, "ssaf": bt.ssaf, "mat": bt.mat,
-        "table": bt.table,
+        "table": bt.table, "win_ids": bt.win_ids, "first": bt.first,
     }
-    win_ids = jnp.asarray(bt.win_ids)    # small: fine as constants
-    first = jnp.asarray(bt.first)
 
     def update(unew, u2b, vh1, gh1, nd):
         """Traceable; nd is the node_data pytree threaded by the caller.
 
         u2b: (n_tiles*T,) packed node values of the previous step (the
         engine carries this; zeros at t=0 matches u0=0)."""
+        win_ids = nd["win_ids"]
+        first = nd["first"]
         shape = unew.shape
         uw = unew.reshape(NW, WR, 128)
         out_w, ub, vh0, gh_new = pl.pallas_call(

@@ -279,6 +279,215 @@ def build_fused_stencil(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
     return fused
 
 
+def build_fused_stencil_sharded(grid, S, sc, fcc: bool, dtype=jnp.float32,
+                                TX: int = 8, interpret: bool = False,
+                                nxp_loc: int | None = None):
+    """Shard-local variant of the fused stencil kernel.
+
+    The GLOBAL INTERIOR rows [1, Nx-1) are split evenly into D slabs of
+    S rows; a shard's local array holds its S owned rows at local [1, S+1)
+    plus one ghost row each side.  Interior-shard ghosts receive the
+    neighbours' edge rows (ppermute'd by the caller every step); on the
+    first/last shard the ghost slot corresponds to the global halo row
+    (0 / Nx-1), whose mirror flip the kernel performs in-slab exactly like
+    the single-device kernel.  An SMEM scalar block
+    [x0_global_of_local_row_1, flag_lo, flag_hi] localises the ABC's
+    global-x coordinates and the edge behaviour, so ONE traced program
+    serves every shard inside shard_map.
+
+    Returns fn(u1_loc, u0_loc, adj_loc, scal) -> unew_loc where scal is an
+    int32 (3,) array; x0 = 1 + shard*S.
+    """
+    Nx, Ny, Nz = grid.Nx, grid.Ny, grid.Nz    # GLOBAL extents
+    _, Nyp, Nzp = grid.shape
+    folded = grid.folded
+    VV = (FCC_VECTORS if fcc else CART_VECTORS).astype(np.int64)
+    NN = VV.shape[0]
+
+    NXT = -(-S // TX)
+    Nxp_loc = nxp_loc or (NXT * TX + 2)
+    assert Nxp_loc >= NXT * TX + 2
+
+    npdt = np.float32 if dtype == jnp.float32 else np.float64
+    a2 = npdt(sc.a2)
+    sl2 = npdt(sc.sl2)
+    two = npdt(2.0)
+    l_ = sc.l
+    abc_w = [np.float64(1.0 / (1.0 + l_ * q)) for q in range(4)]
+
+    def kernel(scal, u1_h, u0_h, adj_h, out_h):
+        def body(slab, u0b, adjb, outb, sem_in, sem_out, sem_pre):
+            x0 = scal[0]          # global index of local row 1
+            flag_lo = scal[1]     # this shard owns the global x-low edge
+            flag_hi = scal[2]
+
+            def start_in(t, slot):
+                rs = t * TX
+                for c in (
+                    pltpu.make_async_copy(u1_h.at[pl.ds(rs, TX + 2)],
+                                          slab.at[slot], sem_in.at[slot, 0]),
+                    pltpu.make_async_copy(u0_h.at[pl.ds(rs + 1, TX)],
+                                          u0b.at[slot], sem_in.at[slot, 1]),
+                    pltpu.make_async_copy(adj_h.at[pl.ds(rs + 1, TX)],
+                                          adjb.at[slot], sem_in.at[slot, 2]),
+                ):
+                    c.start()
+
+            def wait_in(t, slot):
+                rs = t * TX
+                pltpu.make_async_copy(u1_h.at[pl.ds(rs, TX + 2)],
+                                      slab.at[slot], sem_in.at[slot, 0]).wait()
+                pltpu.make_async_copy(u0_h.at[pl.ds(rs + 1, TX)],
+                                      u0b.at[slot], sem_in.at[slot, 1]).wait()
+                pltpu.make_async_copy(adj_h.at[pl.ds(rs + 1, TX)],
+                                      adjb.at[slot], sem_in.at[slot, 2]).wait()
+
+            def out_copy(t, slot):
+                return pltpu.make_async_copy(
+                    outb.at[slot], out_h.at[pl.ds(t * TX + 1, TX)],
+                    sem_out.at[slot])
+
+            # ghost/pad rows of the output buffer come from u0
+            pre0 = pltpu.make_async_copy(
+                u0_h.at[pl.ds(0, 1)], out_h.at[pl.ds(0, 1)], sem_pre.at[0])
+            pre1 = pltpu.make_async_copy(
+                u0_h.at[pl.ds(NXT * TX + 1, Nxp_loc - NXT * TX - 1)],
+                out_h.at[pl.ds(NXT * TX + 1, Nxp_loc - NXT * TX - 1)],
+                sem_pre.at[1])
+            pre0.start()
+            pre1.start()
+            start_in(0, 0)
+
+            def loop(t, _):
+                slot = t % 2
+
+                @pl.when(t + 1 < NXT)
+                def _():
+                    start_in(t + 1, (t + 1) % 2)
+
+                wait_in(t, slot)
+
+                slab[slot, :, :, 0] = slab[slot, :, :, 2]
+                slab[slot, :, :, Nz - 1] = slab[slot, :, :, Nz - 3]
+                slab[slot, :, 0, :] = slab[slot, :, 2, :]
+                if folded:
+                    slab[slot, :, Ny - 1, :] = slab[slot, :, Ny - 2, :]
+                else:
+                    slab[slot, :, Ny - 1, :] = slab[slot, :, Ny - 3, :]
+
+                # x mirror flips only on the shards owning the grid edges
+                @pl.when((t == 0) & (flag_lo == 1))
+                def _():
+                    slab[slot, 0] = slab[slot, 2]
+
+                j = S + 1 - t * TX   # slab-local index of the high ghost row
+
+                @pl.when((flag_hi == 1) & (j >= 2) & (j <= TX + 1))
+                def _():
+                    slab[slot, pl.ds(j, 1)] = slab[slot, pl.ds(j - 2, 1)]
+
+                s = slab[slot]
+                a32 = adjb[slot].astype(jnp.int32)
+                u1c = s[1:TX + 1]
+                acc = None
+                K = None
+                for k in range(NN):
+                    dx, dy, dz = VV[k]
+                    nb = _roll2(s[1 + dx:TX + 1 + dx], dy, dz)
+                    bit = ((a32 >> k) & 1).astype(dtype)
+                    t_k = bit * nb
+                    acc = t_k if acc is None else acc + t_k
+                    K = bit if K is None else K + bit
+
+                u0c = u0b[slot]
+                unew = (two - sl2 * K) * u1c - u0c + a2 * acc
+
+                @pl.when(t >= 2)
+                def _():
+                    out_copy(t - 2, slot).wait()
+
+                outb[slot] = unew
+
+                # ---- ABC with GLOBAL x coordinates (x0 runtime offset)
+                w1 = npdt(abc_w[1])
+                w2 = npdt(abc_w[2])
+                w3 = npdt(abc_w[3])
+                lv = npdt(l_)
+                gz1 = jax.lax.broadcasted_iota(jnp.int32, (TX, Nzp), 1)
+                zext = ((gz1 == 1) | (gz1 == Nz - 2)).astype(jnp.int32)
+                gx1 = (jax.lax.broadcasted_iota(jnp.int32, (TX, Nzp), 0)
+                       + t * TX + x0)
+                xext = ((gx1 == 1) | (gx1 == Nx - 2)).astype(jnp.int32)
+                ylo = 2
+                yhi = Ny - 1 if folded else Ny - 2
+                y_faces = (1,) if folded else (1, Ny - 2)
+                for yf in y_faces:
+                    q = zext + xext + 1
+                    qf = q.astype(dtype)
+                    w = jnp.where(q == 1, w1, jnp.where(q == 2, w2, w3))
+                    vals = outb[slot, :, yf, :]
+                    outb[slot, :, yf, :] = (vals + lv * qf
+                                            * u0c[:, yf, :]) * w
+                gx2 = (jax.lax.broadcasted_iota(
+                    jnp.int32, (TX, yhi - ylo), 0) + t * TX + x0)
+                xext2 = ((gx2 == 1) | (gx2 == Nx - 2)).astype(jnp.int32)
+                for zf in (1, Nz - 2):
+                    q = xext2 + 1
+                    qf = q.astype(dtype)
+                    w = jnp.where(q == 1, w1, w2)
+                    vals = outb[slot, :, ylo:yhi, zf]
+                    outb[slot, :, ylo:yhi, zf] = (vals + lv * qf
+                                                  * u0c[:, ylo:yhi, zf]) * w
+                for r in range(TX):
+                    gx_r = t * TX + r + x0
+
+                    @pl.when((gx_r == 1) | (gx_r == Nx - 2))
+                    def _(r=r):
+                        vals = outb[slot, r, ylo:yhi, 2:Nz - 2]
+                        outb[slot, r, ylo:yhi, 2:Nz - 2] = (
+                            vals + lv * u0c[r, ylo:yhi, 2:Nz - 2]) * w1
+
+                out_copy(t, slot).start()
+
+            jax.lax.fori_loop(0, NXT, loop, None, unroll=False)
+
+            @pl.when(NXT >= 2)
+            def _():
+                out_copy(NXT - 2, (NXT - 2) % 2).wait()
+
+            out_copy(NXT - 1, (NXT - 1) % 2).wait()
+            pre0.wait()
+            pre1.wait()
+
+        adt = jnp.uint16 if NN == 12 else jnp.uint8
+        pl.run_scoped(
+            body,
+            slab=pltpu.VMEM((2, TX + 2, Nyp, Nzp), dtype),
+            u0b=pltpu.VMEM((2, TX, Nyp, Nzp), dtype),
+            adjb=pltpu.VMEM((2, TX, Nyp, Nzp), adt),
+            outb=pltpu.VMEM((2, TX, Nyp, Nzp), dtype),
+            sem_in=pltpu.SemaphoreType.DMA((2, 3)),
+            sem_out=pltpu.SemaphoreType.DMA((2,)),
+            sem_pre=pltpu.SemaphoreType.DMA((2,)),
+        )
+
+    def fused(u1, u0, adj, scal):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((Nxp_loc, Nyp, Nzp), dtype),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+            + [pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            input_output_aliases={2: 0},  # out aliases u0
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True,
+                vmem_limit_bytes=112 * 1024 * 1024),
+            interpret=interpret,
+        )(scal, u1, u0, adj)
+
+    return fused, Nxp_loc
+
+
 def pick_tile_x(Ny, Nzp, dtype_bytes=4, budget_bytes=44 * 1024 * 1024) -> int:
     """Largest TX in {32,16,8,4} whose double-buffered scratch fits VMEM."""
     plane = Ny * Nzp

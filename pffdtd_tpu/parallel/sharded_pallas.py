@@ -1,0 +1,291 @@
+"""Multi-chip engine running the fused Pallas kernels inside shard_map.
+
+The fast path for pod-scale grids: the global interior rows [1, Nx-1) are
+split into D equal x-slabs; each shard holds a local slab with one ghost row
+per side and runs the SAME fused stencil kernel as the single-device engine
+(pallas_stencil.build_fused_stencil_sharded), with per-shard SMEM scalars
+carrying the global-x offset and grid-edge flags.  Per step, one u1 plane
+per direction is `ppermute`'d over ICI into the neighbours' ghost rows —
+the direct analogue of the reference's per-step `cudaMemcpyPeerAsync` halo
+exchange (gpu_engine.h:1086-1126), with all boundary work shard-local
+exactly as in its `split_data` (gpu_engine.h:516-662).
+
+The frequency-dependent boundary update runs the windowed Pallas kernel on
+each shard's local window space; per-shard tile tables are padded to the
+fleet maximum with inert tiles (window 0, first=1: the copy-back of an
+untouched window is a no-op).  Receiver taps are psum'd across shards.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import replace
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pffdtd_tpu.engine.coeffs import MMb
+from pffdtd_tpu.engine.jax_engine import EngineData
+from pffdtd_tpu.engine.pallas_boundary import (TILE_T, WR, BoundaryTiles,
+                                               build_boundary_update,
+                                               partition_boundary)
+from pffdtd_tpu.engine.pallas_stencil import (build_fused_stencil_sharded,
+                                              pick_tile_x)
+from pffdtd_tpu.io.h5 import SimFolder
+from pffdtd_tpu.parallel.sharded_engine import make_mesh
+
+
+def _pad_tiles(bt: BoundaryTiles, n_tiles: int, dtype) -> BoundaryTiles:
+    """Pad a shard's tile table to n_tiles with inert tiles.
+
+    Pad tiles revisit the LAST real tile's window with first=0: the window
+    stays resident in VMEM, the zero-coefficient nodes gather/scatter
+    nothing, and the eventual flush carries the real tiles' results.  (A
+    first=1 pad on a window that real tiles touched would re-copy the
+    pre-scatter content over their updates.)
+    """
+    add = n_tiles - bt.n_tiles
+    if add <= 0:
+        return bt
+    T = TILE_T
+    Nm = bt.table.shape[0] - 1
+    w_last = np.int32(bt.win_ids[-1])
+    return replace(
+        bt,
+        n_tiles=n_tiles,
+        win_ids=np.r_[bt.win_ids, np.full(add, w_last, np.int32)],
+        first=np.r_[bt.first, np.zeros(add, np.int32)],
+        rows=np.r_[bt.rows, np.zeros(add * T, np.int32)],
+        lanes=np.r_[bt.lanes, np.zeros(add * T, np.int32)],
+        ssaf=np.r_[bt.ssaf, np.zeros(add * T, dtype)],
+        mat=np.r_[bt.mat, np.full(add * T, Nm, np.int32)],
+        node_slot=bt.node_slot,
+    )
+
+
+class ShardedPallasEngine:
+    """x-slab sharded engine running the fused Pallas kernels per shard."""
+
+    def __init__(self, folder=None, *, consts=None, vox=None, comms=None,
+                 mats=None, mesh: Mesh | None = None, dtype=np.float32,
+                 interpret: bool = False, tile_x: int | None = None):
+        if folder is not None:
+            sf = SimFolder(folder)
+            consts, vox, comms, mats = sf.consts, sf.vox, sf.comms, sf.mats
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.D = int(self.mesh.devices.size)
+        self.interpret = interpret
+
+        # single-device prep gives the padded global layout + adjacency grid
+        self.data = EngineData(consts, vox, comms, mats, dtype=dtype,
+                               pad_z=128, boundary_kernel=False)
+        d = self.data
+        g = d.grid
+        D = self.D
+        if (g.Nx - 2) % D:
+            raise ValueError(f"interior rows {g.Nx - 2} not divisible by "
+                             f"{D} shards; pad the grid")
+        S = (g.Nx - 2) // D
+        self.S = S
+        TX = tile_x or pick_tile_x(g.Nyp, g.Nzp)
+        while TX > S:
+            TX //= 2
+        assert TX >= 1
+        NXT = -(-S // TX)
+        Nxp_loc = NXT * TX + 2
+        # local flat size must divide into boundary-kernel windows
+        wsize = WR * 128
+        while (Nxp_loc * g.Nyp * g.Nzp) % wsize:
+            Nxp_loc += 1
+        self.Nxp_loc = Nxp_loc
+        self.TX = TX
+        self.Nt = d.Nt
+
+        row = g.Nyp * g.Nzp
+
+        # ---- per-shard adjacency slabs (local rows 1..S = global x0..)
+        adt = d.adj_grid.dtype
+        full_mask = adt.type((1 << d.NN) - 1)
+        adj_loc = np.full((D, Nxp_loc, g.Nyp, g.Nzp), full_mask, adt)
+        for k in range(D):
+            x0 = 1 + k * S
+            adj_loc[k, 1:S + 1] = d.adj_grid[x0:x0 + S]
+        self._adj_loc = adj_loc.reshape(D * Nxp_loc, g.Nyp, g.Nzp)
+
+        # ---- per-shard lossy boundary tiles on the LOCAL flat layout
+        gx = d.bnl_ixyz // row
+        rem = d.bnl_ixyz - gx * row
+        shard = np.clip((gx - 1) // S, 0, D - 1)
+        flat_loc = int(Nxp_loc * g.Nyp * g.Nzp)
+        bts = []
+        for k in range(D):
+            own = shard == k
+            loc = ((gx[own] - (1 + k * S)) + 1) * row + rem[own]
+            order = np.argsort(loc)
+            bts.append(partition_boundary(
+                loc[order], d.ssaf_bnl[own][order], d.mat_bnl[own][order],
+                d.mc, flat_loc, dtype=d.dtype) if own.any() else
+                partition_boundary(np.array([0], np.int64),
+                                   np.zeros(1, d.dtype),
+                                   np.full(1, d.mc.b.shape[0] - 1, np.int32),
+                                   d.mc, flat_loc, dtype=d.dtype))
+        n_tiles = max(bt.n_tiles for bt in bts)
+        bts = [_pad_tiles(bt, n_tiles, d.dtype) for bt in bts]
+        self.n_tiles = n_tiles
+        self._bnode = {
+            key: np.stack([getattr(bt, key) for bt in bts])
+            for key in ("rows", "lanes", "ssaf", "mat", "win_ids", "first")
+        }
+        self._bnode["table"] = np.stack([bt.table for bt in bts])
+        self.Nbl_state = n_tiles * TILE_T
+
+        # ---- per-shard io lists (local flat indices + masks)
+        def io_lists(ixyz):
+            gxi = ixyz // row
+            remi = ixyz - gxi * row
+            sh = np.clip((gxi - 1) // S, 0, D - 1)
+            loc = np.zeros((D, ixyz.size), np.int64)
+            mask = np.zeros((D, ixyz.size), d.dtype)
+            for k in range(D):
+                own = sh == k
+                loc[k, own] = ((gxi[own] - (1 + k * S)) + 1) * row + remi[own]
+                mask[k, own] = 1.0
+            return loc, mask
+
+        self._in_loc, self._in_mask = io_lists(d.in_ixyz)
+        self._out_loc, self._out_mask = io_lists(d.out_ixyz)
+
+        self._build()
+
+    # ------------------------------------------------------------------ build
+    def _build(self):
+        d = self.data
+        g = d.grid
+        D, S, TX = self.D, self.S, self.TX
+        Nxp_loc = self.Nxp_loc
+        dtype = d.dtype
+        jdt = jnp.float32 if dtype == np.float32 else jnp.float64
+        row = g.Nyp * g.Nzp
+        flat_loc = Nxp_loc * row
+
+        fused, _ = build_fused_stencil_sharded(
+            g, S, d.sc, d.fcc, dtype=jdt, TX=TX, interpret=self.interpret,
+            nxp_loc=Nxp_loc)
+        boundary, _ = build_boundary_update(
+            # a dummy tile table of the right static shape; real data flows
+            # through nd at call time
+            _dummy_bt(self.n_tiles, d.mc, dtype), d.sc, flat_loc,
+            dtype=jdt, interpret=self.interpret)
+
+        fwd = [(i, i + 1) for i in range(D - 1)]
+        bwd = [(i + 1, i) for i in range(D - 1)]
+        mesh = self.mesh
+
+        def shard_fn(u0, u1, vh, gh, u2a, u2b, sigs_T, C):
+            ax = jax.lax.axis_index("x")
+            scal = jnp.stack([1 + ax * S, (ax == 0).astype(jnp.int32),
+                              (ax == D - 1).astype(jnp.int32)]).astype(
+                                  jnp.int32)
+
+            def step(carry, sig_n):
+                u0, u1, vh1, gh1, u2b_old, u2b_cur = carry
+                # halo exchange: one plane each way over ICI
+                if D > 1:
+                    from_left = jax.lax.ppermute(u1[S:S + 1], "x", fwd)
+                    from_right = jax.lax.ppermute(u1[1:2], "x", bwd)
+                    u1 = u1.at[0:1].set(from_left)
+                    u1 = u1.at[S + 1:S + 2].set(from_right)
+                unew = fused(u1, u0, C["adj"], scal)
+                unew_f, u2b_new, vh0, gh_new = boundary(
+                    unew.reshape(-1), u2b_old, vh1, gh1, C["bnode"])
+                unew_f = unew_f.at[C["in_loc"]].add(
+                    sig_n.astype(dtype) * C["in_mask"])
+                unew = unew_f.reshape(Nxp_loc, g.Nyp, g.Nzp)
+                out_n = jax.lax.psum(
+                    u1.reshape(-1)[C["out_loc"]] * C["out_mask"], "x")
+                return (u1, unew, vh0, gh_new, u2b_cur, u2b_new), out_n
+
+            carry, ys = jax.lax.scan(step, (u0, u1, vh, gh, u2a, u2b), sigs_T)
+            return carry, ys
+
+        specs = {
+            "adj": P("x"),
+            "bnode": jax.tree.map(lambda _: P("x"), self._bnode),
+            "in_loc": P("x"), "in_mask": P("x"),
+            "out_loc": P("x"), "out_mask": P("x"),
+        }
+        fn = jax.shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P("x"),) * 6 + (P(), specs),
+            out_specs=((P("x"),) * 6, P()),
+            check_vma=False)
+        self._run = jax.jit(fn, donate_argnums=(0, 1, 2, 3, 4, 5))
+
+    # -------------------------------------------------------------------- run
+    def run(self, nt: int | None = None, verbose: bool = True):
+        import time
+
+        d = self.data
+        g = d.grid
+        D, S = self.D, self.S
+        nt = self.Nt if nt is None else nt
+        sigs = (d.in_sigs[:, :nt] / d.infac).T.astype(d.dtype)
+
+        sh = NamedSharding(self.mesh, P("x"))
+        shape = (D * self.Nxp_loc, g.Nyp, g.Nzp)
+        u0 = jax.device_put(jnp.zeros(shape, d.dtype), sh)
+        u1 = jax.device_put(jnp.zeros(shape, d.dtype), sh)
+        vh = jax.device_put(jnp.zeros((D * MMb, self.Nbl_state), d.dtype), sh)
+        gh = jax.device_put(jnp.zeros((D * MMb, self.Nbl_state), d.dtype), sh)
+        u2a = jax.device_put(jnp.zeros((D * self.Nbl_state,), d.dtype), sh)
+        u2b = jax.device_put(jnp.zeros((D * self.Nbl_state,), d.dtype), sh)
+
+        def flatten_lead(a):
+            a = np.asarray(a)
+            return a.reshape((a.shape[0] * a.shape[1],) + a.shape[2:])
+
+        C = {
+            "adj": self._adj_loc,
+            "bnode": {k: flatten_lead(v) for k, v in self._bnode.items()},
+            "in_loc": self._in_loc.reshape(-1),
+            "in_mask": self._in_mask.reshape(-1),
+            "out_loc": self._out_loc.reshape(-1),
+            "out_mask": self._out_mask.reshape(-1),
+        }
+
+        t0 = time.perf_counter()
+        carry, ys = self._run(u0, u1, vh, gh, u2a, u2b, jnp.asarray(sigs), C)
+        ys = np.asarray(jax.block_until_ready(ys))
+        t1 = time.perf_counter()
+
+        self.u_out = np.float64(ys.T) * d.infac
+        npts = g.Nx * g.Ny * g.Nz
+        self.elapsed = t1 - t0
+        self.mvps = npts * nt / self.elapsed / 1e6
+        if verbose:
+            print(f"--ENGINE(sharded-pallas x{self.D}): {nt} steps, "
+                  f"{npts / 1e6:.2f} Mvox, {self.elapsed:.3f}s "
+                  f"-> {self.mvps:.1f} MVPS")
+        return self.u_out
+
+
+def _dummy_bt(n_tiles, mc, dtype):
+    """Static-shape stand-in; real per-shard data arrives via nd."""
+    T = TILE_T
+    Nm = mc.b.shape[0] - 1
+    table = np.zeros((Nm + 1, 4 * MMb + 1), dtype)
+    return BoundaryTiles(
+        n_tiles=n_tiles,
+        win_ids=np.zeros(n_tiles, np.int32),
+        first=np.ones(n_tiles, np.int32),
+        rows=np.zeros(n_tiles * T, np.int32),
+        lanes=np.zeros(n_tiles * T, np.int32),
+        ssaf=np.zeros(n_tiles * T, dtype),
+        mat=np.full(n_tiles * T, Nm, np.int32),
+        table=table,
+        n_windows=0,
+        node_slot=np.zeros(0, np.int64),
+    )

@@ -1,0 +1,49 @@
+"""Sharded Pallas engine (interpret mode on the virtual CPU mesh).
+
+The multi-chip fast path: per-shard fused stencil kernels + windowed
+boundary kernels with ppermute ghost-row exchange.  Requirement: bitwise
+equality across shard counts and vs the single-device XLA engine (f32).
+"""
+
+from dataclasses import replace
+
+import numpy as np
+import pytest
+
+from pffdtd_tpu.demo import synthetic_box_sim
+from pffdtd_tpu.engine.jax_engine import JaxEngine
+from pffdtd_tpu.parallel.sharded_engine import make_mesh
+from pffdtd_tpu.parallel.sharded_pallas import ShardedPallasEngine
+
+
+def _sim(fcc=False):
+    sim = synthetic_box_sim(3.1, 2.0, 1.7, h=0.15 if fcc else 0.12, Nt=40,
+                            lossy=True, insig_type="hann10",
+                            diff_source=False, fcc=fcc)
+    vox = sim.vox
+    rem = (vox.Nx - 2) % 4
+    if rem:
+        add = 4 - rem
+        sim = replace(sim, vox=replace(
+            vox, Nx=vox.Nx + add,
+            xv=np.r_[vox.xv, vox.xv[-1] + vox.h * np.arange(1, add + 1)]))
+    return sim
+
+
+@pytest.mark.parametrize("fcc", [False, True])
+def test_sharded_pallas_bitwise(fcc):
+    sim = _sim(fcc)
+    jx = JaxEngine(consts=sim.consts, vox=sim.vox, comms=sim.comms,
+                   mats=sim.mats, dtype=np.float32, backend="xla")
+    jx.run(verbose=False)
+    outs = {}
+    for D in (1, 4):
+        sp = ShardedPallasEngine(consts=sim.consts, vox=sim.vox,
+                                 comms=sim.comms, mats=sim.mats,
+                                 mesh=make_mesh(D), dtype=np.float32,
+                                 interpret=True)
+        sp.run(verbose=False)
+        outs[D] = sp.u_out
+    assert np.array_equal(outs[1], outs[4])
+    scale = np.abs(jx.u_out).max()
+    assert np.abs(outs[4] - jx.u_out).max() / scale < 2e-5
