@@ -44,7 +44,7 @@ import os
 # rows per window (window = WR * 128 grid elements); larger windows pack
 # node tiles better on sparse (floor-like) boundaries at the cost of bigger
 # one-hot gather matmuls
-WR = int(os.environ.get("PFFDTD_BOUNDARY_WR", "128"))
+WR = int(os.environ.get("PFFDTD_BOUNDARY_WR", "1024"))
 TILE_T = 1024   # nodes per tile (1-D i32/f32 operands need 1024-aligned blocks)
 
 
