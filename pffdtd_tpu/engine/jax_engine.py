@@ -548,10 +548,29 @@ class JaxEngine:
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def run_scan(carry, sigs_T, C):
-            def body(c, x):
-                return step(c, x, C)
+            # two steps per scan iteration: the leapfrog rotates (u0, u1) ->
+            # (u1, unew), and a while-loop carry slot must reuse its own
+            # buffer, so a single-step body forces XLA to COPY the full grid
+            # (u1 -> slot 0) every step.  After two steps each field is back
+            # in its original slot (unew lands in the donated buffer via the
+            # kernel's output aliasing) and the copy disappears.
+            n = sigs_T.shape[0]
+            if n % 2:  # callers pad to even; plain scan as a safety net
+                def body(c, x):
+                    return step(c, x, C)
 
-            return jax.lax.scan(body, carry, sigs_T)
+                return jax.lax.scan(body, carry, sigs_T)
+
+            pairs = sigs_T.reshape(n // 2, 2, *sigs_T.shape[1:])
+
+            def body2(c, x2):
+                c, y0 = step(c, x2[0], C)
+                c, y1 = step(c, x2[1], C)
+                return c, jax.tree.map(lambda a, b: jnp.stack((a, b)), y0, y1)
+
+            carry, ys = jax.lax.scan(body2, carry, pairs)
+            ys = jax.tree.map(lambda a: a.reshape(n, *a.shape[2:]), ys)
+            return carry, ys
 
         self._run_scan = run_scan
 
@@ -606,6 +625,7 @@ class JaxEngine:
                 print(f"--ENGINE(jax): resumed at step {n0}")
 
         chunk = chunk or (nt - n0)
+        chunk += chunk % 2  # pair-step scan: keep chunk boundaries even
         g = d.grid
         npts = g.Nx * g.Ny * g.Nz
         t0 = time.perf_counter()
@@ -614,10 +634,13 @@ class JaxEngine:
         while n < nt:
             m = min(chunk, nt - n)
             tb = time.perf_counter()
-            carry, ys = self._run_scan(carry, jnp.asarray(sigs_all[n:n + m]),
+            sl = sigs_all[n:n + m]
+            if m % 2:  # final odd chunk: one padded zero-input step, trimmed
+                sl = np.concatenate([sl, np.zeros_like(sl[:1])])
+            carry, ys = self._run_scan(carry, jnp.asarray(sl),
                                        self._step_consts)
             ys = jax.tree.map(
-                lambda a: np.asarray(jax.block_until_ready(a)), ys)
+                lambda a: np.asarray(jax.block_until_ready(a))[:m], ys)
             ys_parts.append(ys)
             n += m
             blocks += 1
