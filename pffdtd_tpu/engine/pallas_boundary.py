@@ -45,7 +45,11 @@ import os
 # node tiles better on sparse (floor-like) boundaries at the cost of bigger
 # one-hot gather matmuls
 WR = int(os.environ.get("PFFDTD_BOUNDARY_WR", "1024"))
-TILE_T = 1024   # nodes per tile (1-D i32/f32 operands need 1024-aligned blocks)
+# nodes per tile: per-node vectors are laid out (n_tiles, T) so blocks are
+# 2-D (1, T) — T only needs lane alignment (a multiple of 128).  The total
+# one-hot matmul cost is n_tiles*T*WR*128 MACs, linear in T for span-matched
+# windows, so smaller tiles trade MXU work against per-tile overhead.
+TILE_T = int(os.environ.get("PFFDTD_BOUNDARY_T", "1024"))
 
 
 @dataclass
@@ -157,8 +161,8 @@ def build_boundary_update(bt: BoundaryTiles, sc, n_elements, dtype=jnp.float32,
             out_w[...] = uw[...]
 
         win = out_w[0]          # (WR, 128), accumulated across tiles
-        r = rows[...]           # (T,)
-        ln = lanes[...]
+        r = rows[0]             # (T,) from the (1, T) block
+        ln = lanes[0]
         G = (jax.lax.broadcasted_iota(jnp.int32, (T, WR), 1)
              == r[:, None]).astype(dtype)
         L = (jax.lax.broadcasted_iota(jnp.int32, (T, 128), 1)
@@ -169,11 +173,11 @@ def build_boundary_update(bt: BoundaryTiles, sc, n_elements, dtype=jnp.float32,
         # u^{n-1} at the nodes is the previous step's packed output (carried
         # by the engine), NOT re-gathered from u0 — saves a window stream and
         # lets the stencil kernel alias/destroy u0
-        u2b = u2b_in[...]
+        u2b = u2b_in[0]
 
         # material coefficients via one-hot table lookup (T, 4*MMb+1)
         M = (jax.lax.broadcasted_iota(jnp.int32, (T, NmT), 1)
-             == mat[...][:, None]).astype(dtype)
+             == mat[0][:, None]).astype(dtype)
         co = jnp.dot(M, table[...], preferred_element_type=dtype)
         b = co[:, 0 * MMb:1 * MMb].T      # (MMb, T)
         bd = co[:, 1 * MMb:2 * MMb].T
@@ -181,7 +185,7 @@ def build_boundary_update(bt: BoundaryTiles, sc, n_elements, dtype=jnp.float32,
         bFh = co[:, 3 * MMb:4 * MMb].T
         beta = co[:, 4 * MMb]             # (T,)
 
-        sa = ssaf[...]
+        sa = ssaf[0]
         vh = vh1[...]                     # (MMb, T)
         gh = gh1[...]
         lo2Kbg = lo2 * sa * beta
@@ -193,12 +197,12 @@ def build_boundary_update(bt: BoundaryTiles, sc, n_elements, dtype=jnp.float32,
         delta = ub_new - ub
         scat = jnp.dot(G.T, delta[:, None] * L, preferred_element_type=dtype)
         out_w[0] = win + scat
-        ub_o[...] = ub_new
+        ub_o[0] = ub_new
         vh0_o[...] = vh0
         gh_o[...] = gh_new
 
     win_map = lambda i, win_ids, first: (win_ids[i], 0, 0)
-    vec_map = lambda i, win_ids, first: (i,)
+    vec_map = lambda i, win_ids, first: (i, 0)     # (1, T) per-node blocks
     st_map = lambda i, win_ids, first: (0, i)      # (MMb, T) state blocks
     tbl_map = lambda i, win_ids, first: (0, 0)
 
@@ -207,25 +211,28 @@ def build_boundary_update(bt: BoundaryTiles, sc, n_elements, dtype=jnp.float32,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((1, WR, 128), win_map),      # unew windows
-            pl.BlockSpec((T,), vec_map),              # u2b (packed, carried)
-            pl.BlockSpec((T,), vec_map),              # rows
-            pl.BlockSpec((T,), vec_map),              # lanes
-            pl.BlockSpec((T,), vec_map),              # ssaf
-            pl.BlockSpec((T,), vec_map),              # mat
+            pl.BlockSpec((1, T), vec_map),            # u2b (packed, carried)
+            pl.BlockSpec((1, T), vec_map),            # rows
+            pl.BlockSpec((1, T), vec_map),            # lanes
+            pl.BlockSpec((1, T), vec_map),            # ssaf
+            pl.BlockSpec((1, T), vec_map),            # mat
             pl.BlockSpec(bt.table.shape, tbl_map),    # coefficient table
             pl.BlockSpec((MMb, T), st_map),           # vh1
             pl.BlockSpec((MMb, T), st_map),           # gh1
         ],
         out_specs=[
             pl.BlockSpec((1, WR, 128), win_map),      # updated windows
-            pl.BlockSpec((T,), vec_map),              # ub (next step's u2b)
+            pl.BlockSpec((1, T), vec_map),            # ub (next step's u2b)
             pl.BlockSpec((MMb, T), st_map),           # vh0
             pl.BlockSpec((MMb, T), st_map),           # gh_new
         ],
     )
 
     node_data = {
-        "rows": bt.rows, "lanes": bt.lanes, "ssaf": bt.ssaf, "mat": bt.mat,
+        "rows": bt.rows.reshape(n_tiles, T),
+        "lanes": bt.lanes.reshape(n_tiles, T),
+        "ssaf": bt.ssaf.reshape(n_tiles, T),
+        "mat": bt.mat.reshape(n_tiles, T),
         "table": bt.table, "win_ids": bt.win_ids, "first": bt.first,
     }
 
@@ -243,7 +250,7 @@ def build_boundary_update(bt: BoundaryTiles, sc, n_elements, dtype=jnp.float32,
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((NW, WR, 128), dtype),
-                jax.ShapeDtypeStruct((n_tiles * T,), dtype),
+                jax.ShapeDtypeStruct((n_tiles, T), dtype),
                 jax.ShapeDtypeStruct((MMb, n_tiles * T), dtype),
                 jax.ShapeDtypeStruct((MMb, n_tiles * T), dtype),
             ],
@@ -253,8 +260,8 @@ def build_boundary_update(bt: BoundaryTiles, sc, n_elements, dtype=jnp.float32,
                 has_side_effects=True,
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
-        )(win_ids, first, uw, u2b, nd["rows"], nd["lanes"],
-          nd["ssaf"], nd["mat"], nd["table"], vh1, gh1)
-        return out_w.reshape(shape), ub, vh0, gh_new
+        )(win_ids, first, uw, u2b.reshape(n_tiles, T), nd["rows"],
+          nd["lanes"], nd["ssaf"], nd["mat"], nd["table"], vh1, gh1)
+        return out_w.reshape(shape), ub.reshape(-1), vh0, gh_new
 
     return update, node_data

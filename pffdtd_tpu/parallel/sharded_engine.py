@@ -335,8 +335,22 @@ class ShardedEngine:
             def body(carry, sig_n):
                 return step(carry, sig_n, lists=lists)
 
-            carry, ys = jax.lax.scan(body, (u0, u1, vh1, gh1), sigs_T)
-            return carry, ys
+            # pair the steps so each carry slot keeps its buffer across a
+            # scan iteration (avoids a per-step full-slab rotation copy,
+            # see jax_engine.run_scan)
+            n = sigs_T.shape[0]
+            if n % 2:
+                carry, ys = jax.lax.scan(body, (u0, u1, vh1, gh1), sigs_T)
+                return carry, ys
+
+            def body2(c, x2):
+                c, y0 = body(c, x2[0])
+                c, y1 = body(c, x2[1])
+                return c, jnp.stack((y0, y1))
+
+            pairs = sigs_T.reshape(n // 2, 2, *sigs_T.shape[1:])
+            carry, ys = jax.lax.scan(body2, (u0, u1, vh1, gh1), pairs)
+            return carry, ys.reshape(n, *ys.shape[2:])
 
         lists_specs = jax.tree.map(lambda _: spec_leaf, list_arrays)
         self._list_arrays = list_arrays

@@ -135,10 +135,14 @@ class ShardedPallasEngine:
         n_tiles = max(bt.n_tiles for bt in bts)
         bts = [_pad_tiles(bt, n_tiles, d.dtype) for bt in bts]
         self.n_tiles = n_tiles
+        # per-node vectors go 2-D (n_tiles, T) to match the kernel's blocks
         self._bnode = {
-            key: np.stack([getattr(bt, key) for bt in bts])
-            for key in ("rows", "lanes", "ssaf", "mat", "win_ids", "first")
+            key: np.stack([getattr(bt, key).reshape(n_tiles, TILE_T)
+                           for bt in bts])
+            for key in ("rows", "lanes", "ssaf", "mat")
         }
+        for key in ("win_ids", "first"):
+            self._bnode[key] = np.stack([getattr(bt, key) for bt in bts])
         self._bnode["table"] = np.stack([bt.table for bt in bts])
         self.Nbl_state = n_tiles * TILE_T
 
@@ -208,8 +212,24 @@ class ShardedPallasEngine:
                     u1.reshape(-1)[C["out_loc"]] * C["out_mask"], "x")
                 return (u1, unew, vh0, gh_new, u2b_cur, u2b_new), out_n
 
-            carry, ys = jax.lax.scan(step, (u0, u1, vh, gh, u2a, u2b), sigs_T)
-            return carry, ys
+            # two steps per scan iteration: a single-step body rotates
+            # (u0, u1) -> (u1, unew) and while-loop carry slots must reuse
+            # their buffers, which costs a full-slab copy per step; a pair
+            # returns each field to its own slot (see jax_engine.run_scan)
+            n = sigs_T.shape[0]
+            if n % 2:
+                carry, ys = jax.lax.scan(
+                    step, (u0, u1, vh, gh, u2a, u2b), sigs_T)
+                return carry, ys
+
+            def step2(c, x2):
+                c, y0 = step(c, x2[0])
+                c, y1 = step(c, x2[1])
+                return c, jnp.stack((y0, y1))
+
+            pairs = sigs_T.reshape(n // 2, 2, *sigs_T.shape[1:])
+            carry, ys = jax.lax.scan(step2, (u0, u1, vh, gh, u2a, u2b), pairs)
+            return carry, ys.reshape(n, *ys.shape[2:])
 
         specs = {
             "adj": P("x"),
