@@ -161,16 +161,21 @@ class EngineData:
         self.mat_rows_f64 = {k: rows[k] for k in ("D", "E", "F")}
         self.mat_bnl = vox.mat_bn[lossy].astype(np.int32)
         self.Nbl_state = self.Nbl  # rows in the vh/gh state arrays
-        self.btiles = None
+        self.bhyb = None
         if boundary_kernel and self.Nbl:
-            from pffdtd_tpu.engine.pallas_boundary import (TILE_T,
-                                                           partition_boundary)
+            import os as _os
+
+            from pffdtd_tpu.engine.pallas_boundary import \
+                partition_boundary_hybrid
 
             flat = int(np.prod(self.grid.shape))
-            self.btiles = partition_boundary(
-                self.bnl_ixyz, self.ssaf_bnl, self.mat_bnl, self.mc, flat,
-                dtype=self.dtype)
-            self.Nbl_state = self.btiles.n_tiles * TILE_T
+            mode = _os.environ.get("PFFDTD_BOUNDARY_MODE", "hybrid")
+            mf = {"hybrid": None, "dense": 1, "tiled": 10 ** 9}[mode]
+            self.bhyb = partition_boundary_hybrid(
+                self.bnl_ixyz, self.ssaf_bnl, self.mat_bnl, self.mc,
+                flat, dtype=self.dtype, min_fill=mf)
+            vhs, u2s = self.bhyb.state_shapes()
+            self.Nbl_state = sum(int(np.prod(s)) for s in u2s.values())
 
         # sources / receivers
         self.in_ixyz = _remap_indices(comms.in_ixyz, Ny, Nz, Nyp, Nzp)
@@ -292,7 +297,7 @@ def build_step(data: EngineData, energy: bool = False,
             "bn_cut": np.asarray(data.bn_cut),
             "bn_ncut": np.asarray(data.bn_ncut),
         })
-    if data.Nbl and (backend != "pallas" or data.btiles is None or energy):
+    if data.Nbl and (backend != "pallas" or energy or data.bhyb is None):
         consts.update({
             "bnl": np.asarray(data.bnl_ixyz),
             "ssaf": np.asarray(data.ssaf_bnl),
@@ -346,12 +351,12 @@ def build_step(data: EngineData, energy: bool = False,
             return unew_f.reshape(g.shape), vh0, gh_new
 
         lossy_update = None
-        if data.btiles is not None:
+        if data.bhyb is not None:
             from pffdtd_tpu.engine.pallas_boundary import \
-                build_boundary_update
+                build_boundary_hybrid
 
-            lossy_update, node_data = build_boundary_update(
-                data.btiles, sc, int(np.prod(g.shape)), dtype=jdt,
+            lossy_update, node_data = build_boundary_hybrid(
+                data.bhyb, sc, int(np.prod(g.shape)), dtype=jdt,
                 interpret=interpret)
             consts["bnode"] = node_data
 
@@ -581,19 +586,26 @@ class JaxEngine:
         u1 = jnp.zeros(g.shape, d.dtype)  # distinct buffers (donation)
         # branch states: tile-order transposed (MMb, N) for the windowed
         # kernel (lane-padding economics), (N, MMb) for the XLA path
-        vh_shape = ((MMb, d.Nbl_state) if d.btiles is not None
-                    else (d.Nbl_state, MMb))
-        vh = jnp.zeros(vh_shape, d.dtype)
-        gh = jnp.zeros(vh_shape, d.dtype)
+        if d.bhyb is not None:
+            vhs, _ = d.bhyb.state_shapes()
+            vh = {k: jnp.zeros(s, d.dtype) for k, s in vhs.items()}
+            gh = {k: jnp.zeros(s, d.dtype) for k, s in vhs.items()}
+        else:
+            vh = jnp.zeros((d.Nbl_state, MMb), d.dtype)
+            gh = jnp.zeros((d.Nbl_state, MMb), d.dtype)
         if self.energy_on:
             return (u0, u1, vh, gh, jnp.zeros(g.shape, d.dtype),
                     jnp.zeros((), d.dtype), jnp.zeros((), d.dtype))
         if self.backend == "pallas":
             # packed boundary-node values of the two previous steps
             # (zeros == the zero initial condition)
-            npk = d.Nbl_state if d.btiles is not None else 1
-            return (u0, u1, vh, gh, (jnp.zeros((npk,), d.dtype),
-                                     jnp.zeros((npk,), d.dtype)))
+            if d.bhyb is not None:
+                _, u2s = d.bhyb.state_shapes()
+                z = lambda: {k: jnp.zeros(s, d.dtype)
+                             for k, s in u2s.items()}
+                return (u0, u1, vh, gh, (z(), z()))
+            return (u0, u1, vh, gh, (jnp.zeros((1,), d.dtype),
+                                     jnp.zeros((1,), d.dtype)))
         return (u0, u1, vh, gh)
 
     def run(self, nt: int | None = None, verbose: bool = True,

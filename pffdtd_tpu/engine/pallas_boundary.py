@@ -99,7 +99,11 @@ def partition_boundary(bnl_ixyz, ssaf, mat_bnl, mat_coeffs, n_elements,
             j = k
         i = j
 
-    n_tiles = max(1, len(tiles))
+    # pad the tile count to a multiple of 8: per-node vectors are blocked
+    # (8, T) on TPU (sublane alignment), tile i reading row i % 8.  Padding
+    # tiles revisit the LAST real window with first=0 and all-rigid nodes
+    # (zero coefficients -> zero scatter delta), a benign no-op.
+    n_tiles = -(-max(1, len(tiles)) // 8) * 8
     Nm = mat_coeffs.b.shape[0] - 1  # rows 0..Nm-1 materials, Nm = rigid
     table = np.zeros((Nm + 1, 4 * MMb + 1), dtype)
     table[:, 0 * MMb:1 * MMb] = mat_coeffs.b
@@ -130,7 +134,36 @@ def partition_boundary(bnl_ixyz, ssaf, mat_bnl, mat_coeffs, n_elements,
         bt.ssaf[s0:s0 + n] = ssaf[sl]
         bt.mat[s0:s0 + n] = mat_bnl[sl]
         bt.node_slot[sl] = np.arange(s0, s0 + n)
+    if tiles:  # alignment padding: revisit the last real window, no reset
+        bt.win_ids[len(tiles):] = tiles[-1][0]
+        bt.first[len(tiles):] = 0
+    else:
+        bt.first[:] = 0
+        bt.first[0] = 1
     return bt
+
+
+def _dot_onehot_exact(G, W, dtype):
+    """Exact f32 one-hot matmul on the MXU via a 3-way bf16 split.
+
+    Mosaic lowers a plain f32 `jnp.dot` to a SINGLE bf16 MXU pass (measured
+    ~4e-3 relative error — silently lossy) and Precision.HIGHEST is slower
+    than three explicit bf16 passes.  G's entries are {0, 1} (exact in
+    bf16); W splits exactly into hi+mid+lo bf16 planes (8+8+8 mantissa
+    bits), each pass accumulates in f32, and the reconstruction is
+    bit-exact for a one-hot G (one term per output, no rounding)."""
+    if dtype != jnp.float32:
+        return jax.lax.dot_general(G, W, (((1,), (0,)), ((), ())),
+                                   precision=jax.lax.Precision.HIGHEST,
+                                   preferred_element_type=dtype)
+    gb = G.astype(jnp.bfloat16)
+    hi = W.astype(jnp.bfloat16)
+    r1 = W - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    acc = jnp.dot(gb, hi, preferred_element_type=jnp.float32)
+    acc = acc + jnp.dot(gb, mid, preferred_element_type=jnp.float32)
+    return acc + jnp.dot(gb, lo, preferred_element_type=jnp.float32)
 
 
 def build_boundary_update(bt: BoundaryTiles, sc, n_elements, dtype=jnp.float32,
@@ -155,37 +188,44 @@ def build_boundary_update(bt: BoundaryTiles, sc, n_elements, dtype=jnp.float32,
     def kernel(win_ids, first, uw, u2b_in, rows, lanes, ssaf, mat, table,
                vh1, gh1, out_w, ub_o, vh0_o, gh_o):
         i = pl.program_id(0)
+        j = jax.lax.rem(jnp.int32(i), jnp.int32(8))  # row within (8, T) block
 
         @pl.when(first[i] == 1)
         def _():
             out_w[...] = uw[...]
 
+        @pl.when(j == 0)
+        def _():
+            # the ub output block is revisited by 8 consecutive tiles; seed
+            # it with the aliased input so untouched rows survive the flush
+            ub_o[...] = u2b_in[...]
+
         win = out_w[0]          # (WR, 128), accumulated across tiles
-        r = rows[0]             # (T,) from the (1, T) block
-        ln = lanes[0]
+        r = rows[pl.ds(j, 1)][0]       # (T,) row of the (8, T) block
+        ln = lanes[pl.ds(j, 1)][0]
         G = (jax.lax.broadcasted_iota(jnp.int32, (T, WR), 1)
              == r[:, None]).astype(dtype)
         L = (jax.lax.broadcasted_iota(jnp.int32, (T, 128), 1)
              == ln[:, None]).astype(dtype)
 
-        picked = jnp.dot(G, win, preferred_element_type=dtype)   # (T, 128)
+        picked = _dot_onehot_exact(G, win, dtype)                # (T, 128)
         ub = jnp.sum(picked * L, -1)
         # u^{n-1} at the nodes is the previous step's packed output (carried
         # by the engine), NOT re-gathered from u0 — saves a window stream and
         # lets the stencil kernel alias/destroy u0
-        u2b = u2b_in[0]
+        u2b = u2b_in[pl.ds(j, 1)][0]
 
         # material coefficients via one-hot table lookup (T, 4*MMb+1)
         M = (jax.lax.broadcasted_iota(jnp.int32, (T, NmT), 1)
-             == mat[0][:, None]).astype(dtype)
-        co = jnp.dot(M, table[...], preferred_element_type=dtype)
+             == mat[pl.ds(j, 1)][0][:, None]).astype(dtype)
+        co = _dot_onehot_exact(M, table[...], dtype)
         b = co[:, 0 * MMb:1 * MMb].T      # (MMb, T)
         bd = co[:, 1 * MMb:2 * MMb].T
         bDh = co[:, 2 * MMb:3 * MMb].T
         bFh = co[:, 3 * MMb:4 * MMb].T
         beta = co[:, 4 * MMb]             # (T,)
 
-        sa = ssaf[0]
+        sa = ssaf[pl.ds(j, 1)][0]
         vh = vh1[...]                     # (MMb, T)
         gh = gh1[...]
         lo2Kbg = lo2 * sa * beta
@@ -195,14 +235,14 @@ def build_boundary_update(bt: BoundaryTiles, sc, n_elements, dtype=jnp.float32,
         gh_new = gh + 0.5 * (vh0 + vh)
 
         delta = ub_new - ub
-        scat = jnp.dot(G.T, delta[:, None] * L, preferred_element_type=dtype)
+        scat = _dot_onehot_exact(G.T, delta[:, None] * L, dtype)
         out_w[0] = win + scat
-        ub_o[0] = ub_new
+        ub_o[pl.ds(j, 1)] = ub_new[None]
         vh0_o[...] = vh0
         gh_o[...] = gh_new
 
     win_map = lambda i, win_ids, first: (win_ids[i], 0, 0)
-    vec_map = lambda i, win_ids, first: (i, 0)     # (1, T) per-node blocks
+    vec_map = lambda i, win_ids, first: (i // 8, 0)  # (8, T) per-node blocks
     st_map = lambda i, win_ids, first: (0, i)      # (MMb, T) state blocks
     tbl_map = lambda i, win_ids, first: (0, 0)
 
@@ -211,18 +251,18 @@ def build_boundary_update(bt: BoundaryTiles, sc, n_elements, dtype=jnp.float32,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((1, WR, 128), win_map),      # unew windows
-            pl.BlockSpec((1, T), vec_map),            # u2b (packed, carried)
-            pl.BlockSpec((1, T), vec_map),            # rows
-            pl.BlockSpec((1, T), vec_map),            # lanes
-            pl.BlockSpec((1, T), vec_map),            # ssaf
-            pl.BlockSpec((1, T), vec_map),            # mat
+            pl.BlockSpec((8, T), vec_map),            # u2b (packed, carried)
+            pl.BlockSpec((8, T), vec_map),            # rows
+            pl.BlockSpec((8, T), vec_map),            # lanes
+            pl.BlockSpec((8, T), vec_map),            # ssaf
+            pl.BlockSpec((8, T), vec_map),            # mat
             pl.BlockSpec(bt.table.shape, tbl_map),    # coefficient table
             pl.BlockSpec((MMb, T), st_map),           # vh1
             pl.BlockSpec((MMb, T), st_map),           # gh1
         ],
         out_specs=[
             pl.BlockSpec((1, WR, 128), win_map),      # updated windows
-            pl.BlockSpec((1, T), vec_map),            # ub (next step's u2b)
+            pl.BlockSpec((8, T), vec_map),            # ub (next step's u2b)
             pl.BlockSpec((MMb, T), st_map),           # vh0
             pl.BlockSpec((MMb, T), st_map),           # gh_new
         ],
@@ -263,5 +303,317 @@ def build_boundary_update(bt: BoundaryTiles, sc, n_elements, dtype=jnp.float32,
         )(win_ids, first, uw, u2b.reshape(n_tiles, T), nd["rows"],
           nd["lanes"], nd["ssaf"], nd["mat"], nd["table"], vh1, gh1)
         return out_w.reshape(shape), ub.reshape(-1), vh0, gh_new
+
+    return update, node_data
+
+
+# ---------------------------------------------------------------- dense mode
+# The gather-free redesign: instead of compacting nodes into tiles and paying
+# O(T*WR*128) one-hot MXU gathers/scatters per tile, view the grid as
+# SUBWINDOWS of 1024 contiguous elements (8 sublanes x 128 lanes — exactly
+# one aligned VMEM tile) and run the branch ODE DENSELY over every element of
+# each subwindow that contains at least one boundary node.  Non-node elements
+# carry the all-zero "rigid" material row, for which the update is exactly
+# the identity, so no gather, no scatter, and no selection matmuls exist at
+# all: the only MXU work is a tiny one-hot material-table lookup, and the
+# block writes are aligned (8, 128) stores.  Boundary nodes hug walls, so
+# sorted flat indices fill subwindows densely (z-runs along surfaces are
+# contiguous); the VPU/DMA overspend on empty lanes is far cheaper than the
+# selection matmuls it replaces.  Branch states become (n_sub, MMb, 1024).
+
+SUBW = 1024   # elements per subwindow: one (8, 128) f32 VMEM tile
+
+
+@dataclass
+class BoundaryDense:
+    """Host-built dense subwindow data."""
+
+    n_sub: int
+    sub_ids: np.ndarray     # (n_sub,) i32 subwindow index, strictly increasing
+    mat: np.ndarray         # (n_sub, 8, 128) i32; Nmat row = rigid/no node
+    ssaf: np.ndarray        # (n_sub, 8, 128)
+    table: np.ndarray       # (Nmat+1, 4*MMb+1) f32
+    table_split: np.ndarray  # (3*(4*MMb+1), Nmat+1) bf16 hi|mid|lo, transposed
+    node_slot: np.ndarray   # (Nbl,) dense position of each node
+
+
+def _split_bf16_T(table):
+    """Exact 3-way bf16 split of an f32 table, stacked and transposed."""
+    import ml_dtypes
+
+    t = table.astype(np.float32)
+    hi = t.astype(ml_dtypes.bfloat16)
+    r1 = t - hi.astype(np.float32)
+    mid = r1.astype(ml_dtypes.bfloat16)
+    lo = (r1 - mid.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    return np.concatenate([hi.T, mid.T, lo.T], axis=0)
+
+
+def partition_boundary_dense(bnl_ixyz, ssaf, mat_bnl, mat_coeffs, n_elements,
+                             dtype=np.float32, pad_sub: int | None = None,
+                             empty_pad: bool = False) -> BoundaryDense:
+    """Scatter sorted boundary nodes into dense (8, 128) subwindows.
+
+    pad_sub: pad the subwindow count to this value (multi-shard lockstep);
+    padding entries point at an all-rigid subwindow, whose dense update is
+    the identity.  empty_pad requires such a node-free subwindow to exist.
+    """
+    assert np.all(np.diff(bnl_ixyz) > 0), "bnl indices must be sorted/unique"
+    assert n_elements % SUBW == 0
+    sub = (bnl_ixyz // SUBW).astype(np.int64)
+    sub_ids, starts = np.unique(sub, return_index=True)
+    n_sub = sub_ids.size
+    Nm = mat_coeffs.b.shape[0] - 1
+
+    target = max(n_sub, pad_sub or 0, 1)
+    mat = np.full((target, SUBW), Nm, np.int32)
+    sa = np.zeros((target, SUBW), dtype)
+    within = (bnl_ixyz % SUBW).astype(np.int64)
+    pos = np.searchsorted(sub_ids, sub)
+    mat[pos, within] = mat_bnl
+    sa[pos, within] = ssaf
+    node_slot = pos * SUBW + within
+
+    ids = np.zeros(target, np.int32)
+    ids[:n_sub] = sub_ids
+    if target > n_sub:
+        # padding subwindows must NOT revisit a real one: a revisit would
+        # recompute from the pristine input block and overwrite real updates
+        used = set(sub_ids.tolist())
+        free = next(s for s in range(n_elements // SUBW) if s not in used)
+        ids[n_sub:] = free
+    if n_sub == 0:
+        ids[:] = 0
+
+    table = np.zeros((Nm + 1, 4 * MMb + 1), dtype)
+    table[:, 0 * MMb:1 * MMb] = mat_coeffs.b
+    table[:, 1 * MMb:2 * MMb] = mat_coeffs.bd
+    table[:, 2 * MMb:3 * MMb] = mat_coeffs.bDh
+    table[:, 3 * MMb:4 * MMb] = mat_coeffs.bFh
+    table[:, 4 * MMb] = mat_coeffs.beta
+
+    return BoundaryDense(
+        n_sub=target, sub_ids=ids,
+        mat=mat.reshape(target, 8, 128), ssaf=sa.reshape(target, 8, 128),
+        table=table, table_split=_split_bf16_T(table), node_slot=node_slot)
+
+
+def build_boundary_dense(bd: BoundaryDense, sc, n_elements,
+                         dtype=jnp.float32, interpret: bool = False):
+    """Returns (update, node_data): update(unew, u2b, vh1, gh1, nd) ->
+    (unew', ub, vh0, gh_new) with states (n_sub, MMb, SUBW) and u2b/ub flat
+    (n_sub*SUBW,).  Bit-identical to the XLA path at node positions and the
+    exact identity elsewhere."""
+    assert n_elements % SUBW == 0
+    NR = n_elements // 128
+    n_sub = bd.n_sub
+    NmT = bd.table.shape[0]
+    C = 4 * MMb + 1
+    npdt = np.float32 if dtype == jnp.float32 else np.float64
+    l = npdt(sc.l)
+    lo2 = npdt(sc.lo2)
+    f32 = dtype == jnp.float32
+
+    def kernel(sub_ids, uw, u2b_in, mat, ssaf, tbl, vh1, gh1,
+               out_w, ub_o, vh0_o, gh_o):
+        ub = uw[...]                       # (8, 128)
+        u2b = u2b_in[0]
+        mflat = mat[0].reshape(SUBW)
+        MT = (jax.lax.broadcasted_iota(jnp.int32, (NmT, SUBW), 0)
+              == mflat[None, :])
+        if f32:
+            # one bf16 MXU pass against the pre-split hi|mid|lo table, then
+            # an exact f32 reconstruction (one-hot -> no rounding anywhere)
+            co3 = jnp.dot(tbl[...], MT.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)   # (3C, SUBW)
+            co = co3[0:C] + co3[C:2 * C] + co3[2 * C:3 * C]
+        else:
+            co = jax.lax.dot_general(
+                tbl[...], MT.astype(dtype), (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=dtype)                    # (C, SUBW)
+        b = co[0 * MMb:1 * MMb].reshape(MMb, 8, 128)
+        bdc = co[1 * MMb:2 * MMb].reshape(MMb, 8, 128)
+        bDh = co[2 * MMb:3 * MMb].reshape(MMb, 8, 128)
+        bFh = co[3 * MMb:4 * MMb].reshape(MMb, 8, 128)
+        beta = co[4 * MMb].reshape(8, 128)
+
+        sa = ssaf[0]
+        vh = vh1[0].reshape(MMb, 8, 128)
+        gh = gh1[0].reshape(MMb, 8, 128)
+        lo2Kbg = lo2 * sa * beta
+        ub_new = ub - l * sa * jnp.sum(2.0 * bDh * vh - bFh * gh, 0)
+        ub_new = (ub_new + lo2Kbg * u2b) / (1.0 + lo2Kbg)
+        vh0 = b * (ub_new - u2b)[None] + bdc * vh - 2.0 * bFh * gh
+        gh_new = gh + 0.5 * (vh0 + vh)
+
+        out_w[...] = ub_new
+        ub_o[0] = ub_new
+        vh0_o[0] = vh0.reshape(MMb, SUBW)
+        gh_o[0] = gh_new.reshape(MMb, SUBW)
+
+    sub_map = lambda i, sub_ids: (sub_ids[i], 0)
+    own_map = lambda i, sub_ids: (i, 0, 0)
+    st_map = lambda i, sub_ids: (i, 0, 0)
+    tbl_map = lambda i, sub_ids: (0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_sub,),
+        in_specs=[
+            pl.BlockSpec((8, 128), sub_map),              # u subwindow
+            pl.BlockSpec((1, 8, 128), own_map),           # u2b (carried)
+            pl.BlockSpec((1, 8, 128), own_map),           # material index
+            pl.BlockSpec((1, 8, 128), own_map),           # ssaf
+            pl.BlockSpec(bd.table_split.shape if f32 else bd.table.T.shape,
+                         tbl_map),                        # coefficient table
+            pl.BlockSpec((1, MMb, SUBW), st_map),         # vh1
+            pl.BlockSpec((1, MMb, SUBW), st_map),         # gh1
+        ],
+        out_specs=[
+            pl.BlockSpec((8, 128), sub_map),              # updated subwindow
+            pl.BlockSpec((1, 8, 128), own_map),           # ub (next u2b)
+            pl.BlockSpec((1, MMb, SUBW), st_map),         # vh0
+            pl.BlockSpec((1, MMb, SUBW), st_map),         # gh_new
+        ],
+    )
+
+    node_data = {
+        "sub_ids": bd.sub_ids, "mat": bd.mat, "ssaf": bd.ssaf,
+        "table": bd.table_split if f32 else np.ascontiguousarray(bd.table.T),
+    }
+
+    def update(unew, u2b, vh1, gh1, nd):
+        shape = unew.shape
+        uw = unew.reshape(NR, 128)
+        out_w, ub, vh0, gh_new = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((NR, 128), dtype),
+                jax.ShapeDtypeStruct((n_sub, 8, 128), dtype),
+                jax.ShapeDtypeStruct((n_sub, MMb, SUBW), dtype),
+                jax.ShapeDtypeStruct((n_sub, MMb, SUBW), dtype),
+            ],
+            # untouched subwindows keep unew's values via output aliasing
+            input_output_aliases={1: 0, 2: 1, 6: 2, 7: 3},
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True,
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(nd["sub_ids"], uw, u2b.reshape(n_sub, 8, 128), nd["mat"],
+          nd["ssaf"], nd["table"], vh1, gh1)
+        return out_w.reshape(shape), ub.reshape(-1), vh0, gh_new
+
+    return update, node_data
+
+
+# --------------------------------------------------------------- hybrid mode
+# Surfaces whose normal is the fastest (z) axis are strided by Nzp in flat
+# order — a couple of nodes per 1024-element subwindow — and dense states for
+# them would blow HBM by ~100x.  The hybrid splits nodes by subwindow fill:
+# clustered nodes (x/y-normal walls: contiguous z-runs) take the gather-free
+# dense kernel, sparse stragglers take the one-hot tiled kernel.
+
+MIN_FILL = int(os.environ.get("PFFDTD_BOUNDARY_MIN_FILL", "96"))
+
+
+@dataclass
+class BoundaryHybrid:
+    dense: BoundaryDense | None
+    tiles: BoundaryTiles | None
+
+    def state_shapes(self):
+        """(vh/gh shapes, u2b sizes) keyed like the runtime pytrees."""
+        vh = {}
+        u2b = {}
+        if self.dense is not None:
+            vh["d"] = (self.dense.n_sub, MMb, SUBW)
+            u2b["d"] = (self.dense.n_sub * SUBW,)
+        if self.tiles is not None:
+            vh["t"] = (MMb, self.tiles.n_tiles * TILE_T)
+            u2b["t"] = (self.tiles.n_tiles * TILE_T,)
+        return vh, u2b
+
+
+def _pad_tiles_to(bt: BoundaryTiles, n_tiles: int, dtype) -> BoundaryTiles:
+    """Extend a tile set with benign padding tiles (fleet-lockstep)."""
+    add = n_tiles - bt.n_tiles
+    if add <= 0:
+        return bt
+    T = bt.rows.size // bt.n_tiles
+    Nm = bt.table.shape[0] - 1
+    return BoundaryTiles(
+        n_tiles=n_tiles,
+        win_ids=np.r_[bt.win_ids,
+                      np.full(add, bt.win_ids[-1], np.int32)],
+        first=np.r_[bt.first, np.zeros(add, np.int32)],
+        rows=np.r_[bt.rows, np.zeros(add * T, np.int32)],
+        lanes=np.r_[bt.lanes, np.zeros(add * T, np.int32)],
+        ssaf=np.r_[bt.ssaf, np.zeros(add * T, dtype)],
+        mat=np.r_[bt.mat, np.full(add * T, Nm, np.int32)],
+        table=bt.table, n_windows=bt.n_windows,
+        node_slot=bt.node_slot)
+
+
+def partition_boundary_hybrid(bnl_ixyz, ssaf, mat_bnl, mat_coeffs,
+                              n_elements, dtype=np.float32,
+                              min_fill: int | None = None,
+                              pad_sub: int | None = None,
+                              pad_tiles: int | None = None,
+                              force_both: bool = False) -> BoundaryHybrid:
+    """Split nodes by subwindow fill into dense + tiled partitions.
+
+    pad_sub / pad_tiles / force_both keep multiple shards in kernel
+    lockstep: every shard runs both kernels with fleet-max static shapes."""
+    mf = MIN_FILL if min_fill is None else min_fill
+    sub = np.asarray(bnl_ixyz) // SUBW
+    uniq, counts = np.unique(sub, return_counts=True)
+    dense_mask = np.isin(sub, uniq[counts >= mf])
+
+    bdense = None
+    if dense_mask.any() or pad_sub or force_both:
+        bdense = partition_boundary_dense(
+            bnl_ixyz[dense_mask], ssaf[dense_mask], mat_bnl[dense_mask],
+            mat_coeffs, n_elements, dtype=dtype, pad_sub=pad_sub)
+
+    btiles = None
+    tm = ~dense_mask
+    if tm.any():
+        btiles = partition_boundary(bnl_ixyz[tm], ssaf[tm], mat_bnl[tm],
+                                    mat_coeffs, n_elements, dtype=dtype)
+    elif pad_tiles or force_both:
+        Nm = mat_coeffs.b.shape[0] - 1
+        btiles = partition_boundary(
+            np.array([0], np.int64), np.zeros(1, dtype),
+            np.full(1, Nm, np.int32), mat_coeffs, n_elements, dtype=dtype)
+    if btiles is not None and pad_tiles:
+        btiles = _pad_tiles_to(btiles, pad_tiles, dtype)
+    return BoundaryHybrid(dense=bdense, tiles=btiles)
+
+
+def build_boundary_hybrid(bh: BoundaryHybrid, sc, n_elements,
+                          dtype=jnp.float32, interpret: bool = False):
+    """Returns (update, node_data): update(unew, u2b, vh1, gh1, nd) ->
+    (unew', u2b_new, vh0, gh_new) where u2b/vh/gh are {"d": ..., "t": ...}
+    pytrees matching bh.state_shapes()."""
+    upd_d = upd_t = None
+    node_data = {}
+    if bh.dense is not None:
+        upd_d, node_data["d"] = build_boundary_dense(
+            bh.dense, sc, n_elements, dtype=dtype, interpret=interpret)
+    if bh.tiles is not None:
+        upd_t, node_data["t"] = build_boundary_update(
+            bh.tiles, sc, n_elements, dtype=dtype, interpret=interpret)
+
+    def update(unew, u2b, vh1, gh1, nd):
+        ub, vh0, gh_new = {}, {}, {}
+        if upd_d is not None:
+            unew, ub["d"], vh0["d"], gh_new["d"] = upd_d(
+                unew, u2b["d"], vh1["d"], gh1["d"], nd["d"])
+        if upd_t is not None:
+            unew, ub["t"], vh0["t"], gh_new["t"] = upd_t(
+                unew, u2b["t"], vh1["t"], gh1["t"], nd["t"])
+        return unew, ub, vh0, gh_new
 
     return update, node_data

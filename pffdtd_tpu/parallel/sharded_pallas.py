@@ -18,52 +18,19 @@ untouched window is a no-op).  Receiver taps are psum'd across shards.
 
 from __future__ import annotations
 
-import functools
-from dataclasses import replace
-
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from pffdtd_tpu.engine.coeffs import MMb
 from pffdtd_tpu.engine.jax_engine import EngineData
-from pffdtd_tpu.engine.pallas_boundary import (TILE_T, WR, BoundaryTiles,
-                                               build_boundary_update,
-                                               partition_boundary)
+from pffdtd_tpu.engine.pallas_boundary import (WR, build_boundary_hybrid,
+                                               partition_boundary_hybrid)
 from pffdtd_tpu.engine.pallas_stencil import (build_fused_stencil_sharded,
                                               pick_tile_x)
 from pffdtd_tpu.io.h5 import SimFolder
 from pffdtd_tpu.parallel.sharded_engine import make_mesh
-
-
-def _pad_tiles(bt: BoundaryTiles, n_tiles: int, dtype) -> BoundaryTiles:
-    """Pad a shard's tile table to n_tiles with inert tiles.
-
-    Pad tiles revisit the LAST real tile's window with first=0: the window
-    stays resident in VMEM, the zero-coefficient nodes gather/scatter
-    nothing, and the eventual flush carries the real tiles' results.  (A
-    first=1 pad on a window that real tiles touched would re-copy the
-    pre-scatter content over their updates.)
-    """
-    add = n_tiles - bt.n_tiles
-    if add <= 0:
-        return bt
-    T = TILE_T
-    Nm = bt.table.shape[0] - 1
-    w_last = np.int32(bt.win_ids[-1])
-    return replace(
-        bt,
-        n_tiles=n_tiles,
-        win_ids=np.r_[bt.win_ids, np.full(add, w_last, np.int32)],
-        first=np.r_[bt.first, np.zeros(add, np.int32)],
-        rows=np.r_[bt.rows, np.zeros(add * T, np.int32)],
-        lanes=np.r_[bt.lanes, np.zeros(add * T, np.int32)],
-        ssaf=np.r_[bt.ssaf, np.zeros(add * T, dtype)],
-        mat=np.r_[bt.mat, np.full(add * T, Nm, np.int32)],
-        node_slot=bt.node_slot,
-    )
 
 
 class ShardedPallasEngine:
@@ -115,36 +82,28 @@ class ShardedPallasEngine:
             adj_loc[k, 1:S + 1] = d.adj_grid[x0:x0 + S]
         self._adj_loc = adj_loc.reshape(D * Nxp_loc, g.Nyp, g.Nzp)
 
-        # ---- per-shard lossy boundary tiles on the LOCAL flat layout
+        # ---- per-shard lossy boundary hybrids on the LOCAL flat layout
+        # (dense subwindows for clustered nodes + one-hot tiles for sparse
+        # strays); all shards run both kernels with fleet-max static shapes
         gx = d.bnl_ixyz // row
         rem = d.bnl_ixyz - gx * row
         shard = np.clip((gx - 1) // S, 0, D - 1)
         flat_loc = int(Nxp_loc * g.Nyp * g.Nzp)
-        bts = []
-        for k in range(D):
+
+        def _part(k, pad_sub=None, pad_tiles=None):
             own = shard == k
             loc = ((gx[own] - (1 + k * S)) + 1) * row + rem[own]
             order = np.argsort(loc)
-            bts.append(partition_boundary(
+            return partition_boundary_hybrid(
                 loc[order], d.ssaf_bnl[own][order], d.mat_bnl[own][order],
-                d.mc, flat_loc, dtype=d.dtype) if own.any() else
-                partition_boundary(np.array([0], np.int64),
-                                   np.zeros(1, d.dtype),
-                                   np.full(1, d.mc.b.shape[0] - 1, np.int32),
-                                   d.mc, flat_loc, dtype=d.dtype))
-        n_tiles = max(bt.n_tiles for bt in bts)
-        bts = [_pad_tiles(bt, n_tiles, d.dtype) for bt in bts]
-        self.n_tiles = n_tiles
-        # per-node vectors go 2-D (n_tiles, T) to match the kernel's blocks
-        self._bnode = {
-            key: np.stack([getattr(bt, key).reshape(n_tiles, TILE_T)
-                           for bt in bts])
-            for key in ("rows", "lanes", "ssaf", "mat")
-        }
-        for key in ("win_ids", "first"):
-            self._bnode[key] = np.stack([getattr(bt, key) for bt in bts])
-        self._bnode["table"] = np.stack([bt.table for bt in bts])
-        self.Nbl_state = n_tiles * TILE_T
+                d.mc, flat_loc, dtype=d.dtype, pad_sub=pad_sub,
+                pad_tiles=pad_tiles, force_both=True)
+
+        sizes = [_part(k) for k in range(D)]
+        ns_max = max(bh.dense.n_sub for bh in sizes)
+        nt_max = max(bh.tiles.n_tiles for bh in sizes)
+        self._bhs = [_part(k, pad_sub=ns_max, pad_tiles=nt_max)
+                     for k in range(D)]
 
         # ---- per-shard io lists (local flat indices + masks)
         def io_lists(ixyz):
@@ -178,11 +137,15 @@ class ShardedPallasEngine:
         fused, _ = build_fused_stencil_sharded(
             g, S, d.sc, d.fcc, dtype=jdt, TX=TX, interpret=self.interpret,
             nxp_loc=Nxp_loc)
-        boundary, _ = build_boundary_update(
-            # a dummy tile table of the right static shape; real data flows
-            # through nd at call time
-            _dummy_bt(self.n_tiles, d.mc, dtype), d.sc, flat_loc,
-            dtype=jdt, interpret=self.interpret)
+        # all shards share static shapes (fleet-max padded), so shard 0's
+        # update fn serves every shard; real per-shard data flows through nd
+        boundary, _ = build_boundary_hybrid(
+            self._bhs[0], d.sc, flat_loc, dtype=jdt,
+            interpret=self.interpret)
+        nds = [build_boundary_hybrid(bh, d.sc, flat_loc, dtype=jdt,
+                                     interpret=self.interpret)[1]
+               for bh in self._bhs]
+        self._bnode = jax.tree.map(lambda *a: np.stack(a), *nds)
 
         fwd = [(i, i + 1) for i in range(D - 1)]
         bwd = [(i + 1, i) for i in range(D - 1)]
@@ -258,10 +221,16 @@ class ShardedPallasEngine:
         shape = (D * self.Nxp_loc, g.Nyp, g.Nzp)
         u0 = jax.device_put(jnp.zeros(shape, d.dtype), sh)
         u1 = jax.device_put(jnp.zeros(shape, d.dtype), sh)
-        vh = jax.device_put(jnp.zeros((D * MMb, self.Nbl_state), d.dtype), sh)
-        gh = jax.device_put(jnp.zeros((D * MMb, self.Nbl_state), d.dtype), sh)
-        u2a = jax.device_put(jnp.zeros((D * self.Nbl_state,), d.dtype), sh)
-        u2b = jax.device_put(jnp.zeros((D * self.Nbl_state,), d.dtype), sh)
+        vhs, u2s = self._bhs[0].state_shapes()
+
+        def zeros_sharded(s):
+            return jax.device_put(
+                jnp.zeros((D * s[0],) + tuple(s[1:]), d.dtype), sh)
+
+        vh = {k: zeros_sharded(s) for k, s in vhs.items()}
+        gh = {k: zeros_sharded(s) for k, s in vhs.items()}
+        u2a = {k: zeros_sharded(s) for k, s in u2s.items()}
+        u2b = {k: zeros_sharded(s) for k, s in u2s.items()}
 
         def flatten_lead(a):
             a = np.asarray(a)
@@ -269,7 +238,7 @@ class ShardedPallasEngine:
 
         C = {
             "adj": self._adj_loc,
-            "bnode": {k: flatten_lead(v) for k, v in self._bnode.items()},
+            "bnode": jax.tree.map(flatten_lead, self._bnode),
             "in_loc": self._in_loc.reshape(-1),
             "in_mask": self._in_mask.reshape(-1),
             "out_loc": self._out_loc.reshape(-1),
@@ -290,22 +259,3 @@ class ShardedPallasEngine:
                   f"{npts / 1e6:.2f} Mvox, {self.elapsed:.3f}s "
                   f"-> {self.mvps:.1f} MVPS")
         return self.u_out
-
-
-def _dummy_bt(n_tiles, mc, dtype):
-    """Static-shape stand-in; real per-shard data arrives via nd."""
-    T = TILE_T
-    Nm = mc.b.shape[0] - 1
-    table = np.zeros((Nm + 1, 4 * MMb + 1), dtype)
-    return BoundaryTiles(
-        n_tiles=n_tiles,
-        win_ids=np.zeros(n_tiles, np.int32),
-        first=np.ones(n_tiles, np.int32),
-        rows=np.zeros(n_tiles * T, np.int32),
-        lanes=np.zeros(n_tiles * T, np.int32),
-        ssaf=np.zeros(n_tiles * T, dtype),
-        mat=np.full(n_tiles * T, Nm, np.int32),
-        table=table,
-        n_windows=0,
-        node_slot=np.zeros(0, np.int64),
-    )

@@ -20,12 +20,18 @@ def _run_pallas_interpret(sim, nt, tile_x=8):
                       boundary_kernel=True)  # exercise the windowed kernel
     step, C = build_step(data, backend="pallas", interpret=True)
     g = data.grid
-    vh_shape = ((MMb, data.Nbl_state) if data.btiles is not None
-                else (data.Nbl_state, MMb))
-    npk = data.Nbl_state if data.btiles is not None else 1
+    if data.bhyb is not None:
+        vhs, u2s = data.bhyb.state_shapes()
+        vh = {k: jnp.zeros(s, np.float32) for k, s in vhs.items()}
+        gh = {k: jnp.zeros(s, np.float32) for k, s in vhs.items()}
+        z = lambda: {k: jnp.zeros(s, np.float32) for k, s in u2s.items()}
+        u2 = (z(), z())
+    else:
+        vh = jnp.zeros((data.Nbl_state, MMb), np.float32)
+        gh = jnp.zeros((data.Nbl_state, MMb), np.float32)
+        u2 = (jnp.zeros((1,), np.float32), jnp.zeros((1,), np.float32))
     carry = (jnp.zeros(g.shape, np.float32), jnp.zeros(g.shape, np.float32),
-             jnp.zeros(vh_shape, np.float32), jnp.zeros(vh_shape, np.float32),
-             (jnp.zeros((npk,), np.float32), jnp.zeros((npk,), np.float32)))
+             vh, gh, u2)
     sigs = (data.in_sigs[:, :nt] / data.infac).T.astype(np.float32)
     carry, ys = jax.lax.scan(lambda c, x: step(c, x, C), carry,
                              jnp.asarray(sigs))
