@@ -44,12 +44,12 @@ import os
 # rows per window (window = WR * 128 grid elements); larger windows pack
 # node tiles better on sparse (floor-like) boundaries at the cost of bigger
 # one-hot gather matmuls
-WR = int(os.environ.get("PFFDTD_BOUNDARY_WR", "1024"))
+WR = int(os.environ.get("PFFDTD_BOUNDARY_WR", "512"))
 # nodes per tile: per-node vectors are laid out (n_tiles, T) so blocks are
 # 2-D (1, T) — T only needs lane alignment (a multiple of 128).  The total
 # one-hot matmul cost is n_tiles*T*WR*128 MACs, linear in T for span-matched
 # windows, so smaller tiles trade MXU work against per-tile overhead.
-TILE_T = int(os.environ.get("PFFDTD_BOUNDARY_T", "1024"))
+TILE_T = int(os.environ.get("PFFDTD_BOUNDARY_T", "512"))
 
 
 @dataclass

@@ -45,12 +45,52 @@ def _adj_column_perm(tr, NN):
     return np.argsort(jj)
 
 
-def rotate_sim(sim: SimData, tr=None) -> SimData:
-    """Permute dims so extents are descending (x becomes the largest)."""
+def boundary_face_counts(vox) -> np.ndarray:
+    """Cut boundary legs per axis (x, y, z) — the staircase area profile."""
+    cut = ~np.asarray(vox.adj_bn, bool)
+    NN = cut.shape[1]
+    if NN == 6:  # cart leg order: +x -x +y -y +z -z
+        ax = np.array([0, 0, 1, 1, 2, 2])
+        counts = np.array([int(cut[:, ax == k].sum()) for k in range(3)])
+    else:        # FCC: 12 diagonal legs, each spans two axes equally
+        from pffdtd_tpu.voxelizer.vox import FCC_VECTORS
+
+        V = np.abs(np.asarray(FCC_VECTORS))
+        counts = (cut @ V).sum(0).astype(np.int64)
+    return counts
+
+
+def rotate_sim(sim: SimData, tr=None, orient: str = "auto") -> SimData:
+    """Permute grid dims for TPU-friendly memory order.
+
+    orient="auto" puts the axis with the FEWEST boundary faces on z: surfaces
+    normal to z are strided by Nz in flat order (2 nodes per 1024-element
+    subwindow) and fall off the dense boundary-kernel path, while x-normal
+    surfaces are contiguous planes and y-normal surfaces contiguous z-runs.
+    Of the remaining axes, x gets the longer extent (more/evener shard
+    slabs; smaller Ny*Nz halo planes).  orient="descending" reproduces the
+    reference's rule (rotate_sim_data.py:30-130: dims descending).
+    """
     vox, comms = sim.vox, sim.comms
     N = (vox.Nx, vox.Ny, vox.Nz)
     if tr is None:
-        tr = tuple(np.argsort(N)[::-1])
+        if orient == "auto" and vox.Nb:
+            # score each candidate z axis: a z-normal boundary face costs
+            # ~3 ns/step (falls to the tiled kernel instead of the dense
+            # one), a lane-padding voxel (Nz -> next multiple of 128)
+            # ~0.28 ns/step of extra streaming (both fit to v5e sweeps)
+            faces = boundary_face_counts(vox)
+            Ntot = int(np.prod(N))
+            score = []
+            for k in range(3):
+                pad = (-(-N[k] // 128) * 128 - N[k]) * (Ntot // N[k])
+                score.append(0.28 * pad + 3.0 * int(faces[k]))
+            zax = int(np.argmin(score))
+            rest = [k for k in range(3) if k != zax]
+            rest.sort(key=lambda k: -N[k])
+            tr = (rest[0], rest[1], zax)
+        else:
+            tr = tuple(np.argsort(N)[::-1])
     else:
         tr = tuple(tr)
     if tr == (0, 1, 2):

@@ -85,3 +85,33 @@ def wavread(fname):
     if data.dtype == np.int16:
         data = data / 32768.0
     return float(sr), np.float64(data.T)
+
+
+class TimerDict:
+    """tic/toc named timers (reference: python/common/timerdict.py:19-57).
+
+    >>> t = TimerDict(); t.tic("vox"); ...; print(t.ftoc("vox"))
+    Un-toc'd timers are reported on deletion so leaks are visible.
+    """
+
+    def __init__(self):
+        import time as _time
+
+        self._time = _time
+        self._start = {}
+
+    def tic(self, key):
+        self._start[key] = self._time.perf_counter()
+
+    def toc(self, key, print_elapsed=False):
+        dt = self._time.perf_counter() - self._start.pop(key)
+        if print_elapsed:
+            print(f"--TIMER: {key} took {dt:.3f}s", flush=True)
+        return dt
+
+    def ftoc(self, key):
+        return f"{key} took {self.toc(key):.3f}s"
+
+    def __del__(self):
+        for key in self._start:
+            print(f"--TIMER WARNING: timer '{key}' never toc'd")

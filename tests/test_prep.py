@@ -36,10 +36,23 @@ def test_rotate_preserves_outputs():
     assert np.allclose(out, base, rtol=0, atol=1e-12 * np.abs(base).max())
 
 
-def test_rotate_descending_default():
+def test_rotate_descending():
+    sim = synthetic_box_sim(1.5, 2.6, 2.0, h=0.14, Nt=10, lossy=False)
+    rot = rotate_sim(sim, orient="descending")
+    assert rot.vox.Nx >= rot.vox.Ny >= rot.vox.Nz
+
+
+def test_rotate_auto_puts_fewest_faces_on_z():
+    # a box: faces normal to axis k have area = product of the other two
+    # extents, so the LONGEST axis has the fewest boundary faces -> z
     sim = synthetic_box_sim(1.5, 2.6, 2.0, h=0.14, Nt=10, lossy=False)
     rot = rotate_sim(sim)
-    assert rot.vox.Nx >= rot.vox.Ny >= rot.vox.Nz
+    from pffdtd_tpu.prep import boundary_face_counts
+
+    counts = boundary_face_counts(rot.vox)
+    assert counts[2] == counts.min()
+    assert rot.vox.Nz >= max(rot.vox.Nx, rot.vox.Ny)  # box: longest -> z
+    assert rot.vox.Nx >= rot.vox.Ny
 
 
 def test_sort_preserves_outputs():
