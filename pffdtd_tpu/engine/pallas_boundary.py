@@ -52,6 +52,50 @@ WR = int(os.environ.get("PFFDTD_BOUNDARY_WR", "512"))
 TILE_T = int(os.environ.get("PFFDTD_BOUNDARY_T", "512"))
 
 
+def choose_tile_params(bnl_arrays, n_elements) -> tuple[int, int]:
+    """Pick (T, WR) minimizing a fitted v5e cost model for the tiled kernel.
+
+    cost[ms] = 7.2e-9 * n_tiles*T*WR  (exact one-hot MXU matmuls)
+             + 5.0e-4 * n_tiles       (per-tile fixed overhead)
+             + 1.5e-5 * n_win*WR      (window stream on win-id change)
+    (least-squares fit of the 248-Mvox full-lossy box sweep, residual ~1 ms).
+    bnl_arrays: one sorted node-index array per shard; costs are summed so
+    every shard runs the same static shapes.  Env PFFDTD_BOUNDARY_T/WR pin
+    the choice.  WR candidates must divide the flat grid into whole windows.
+    """
+    env_t = os.environ.get("PFFDTD_BOUNDARY_T")
+    env_w = os.environ.get("PFFDTD_BOUNDARY_WR")
+    if env_t and env_w:
+        return int(env_t), int(env_w)
+    cand_t = [int(env_t)] if env_t else [128, 256, 512, 1024]
+    cand_w = [int(env_w)] if env_w else [
+        w for w in (128, 256, 512, 1024) if n_elements % (w * 128) == 0]
+    best, best_cost = None, np.inf
+    for wr in cand_w:
+        nwin = ncnt = 0
+        counts = []
+        for a in bnl_arrays:
+            _, c = np.unique(np.asarray(a) // (wr * 128),
+                             return_counts=True)
+            counts.append(c)
+            nwin += c.size
+        for T in cand_t:
+            ntl = sum(int(np.ceil(c / T).sum()) for c in counts)
+            cost = 7.2e-9 * ntl * T * wr + 5e-4 * ntl + 1.5e-5 * nwin * wr
+            if cost < best_cost:
+                best, best_cost = (T, wr), cost
+    return best
+
+
+def split_dense_mask(bnl_ixyz, min_fill=None) -> np.ndarray:
+    """True for nodes whose 1024-element subwindow is filled enough to go
+    through the dense (gather-free) kernel."""
+    mf = MIN_FILL if min_fill is None else min_fill
+    sub = np.asarray(bnl_ixyz) // SUBW
+    uniq, counts = np.unique(sub, return_counts=True)
+    return np.isin(sub, uniq[counts >= mf])
+
+
 @dataclass
 class BoundaryTiles:
     """Host-partitioned per-tile node data."""
@@ -66,17 +110,22 @@ class BoundaryTiles:
     table: np.ndarray        # (Nmat+1, 4*MMb+1): b|bd|bDh|bFh|beta
     n_windows: int
     node_slot: np.ndarray    # (Nbl,) position of each input node in tile order
+    T: int = 1024            # nodes per tile
+    wr: int = 1024           # window rows
 
 
 def partition_boundary(bnl_ixyz, ssaf, mat_bnl, mat_coeffs, n_elements,
-                       dtype=np.float32, T: int = TILE_T) -> BoundaryTiles:
+                       dtype=np.float32, T: int | None = None,
+                       wr: int | None = None) -> BoundaryTiles:
     """Group sorted boundary nodes into window tiles of T nodes.
 
     mat_bnl: per-node material index (>= 0); mat_coeffs: MatCoeffs (rows
     0..Nmat-1 real materials, row Nmat all-zero = rigid/padding).
     """
     assert np.all(np.diff(bnl_ixyz) > 0), "bnl indices must be sorted/unique"
-    wsize = WR * 128
+    T = TILE_T if T is None else T
+    wr = WR if wr is None else wr
+    wsize = wr * 128
     n_windows = -(-int(n_elements) // wsize)
     win = bnl_ixyz // wsize
     rem = bnl_ixyz - win * wsize
@@ -123,6 +172,7 @@ def partition_boundary(bnl_ixyz, ssaf, mat_bnl, mat_coeffs, n_elements,
         table=table,
         n_windows=n_windows,
         node_slot=np.zeros(N, np.int64),
+        T=T, wr=wr,
     )
     for ti, (w, first, sl) in enumerate(tiles):
         n = sl.stop - sl.start
@@ -167,14 +217,15 @@ def _dot_onehot_exact(G, W, dtype):
 
 
 def build_boundary_update(bt: BoundaryTiles, sc, n_elements, dtype=jnp.float32,
-                          T: int = TILE_T, interpret: bool = False):
+                          interpret: bool = False):
     """Returns (update, node_data): update(unew, u0, vh1, gh1, nd) ->
     (unew', vh0, gh_new).
 
-    unew/u0: flat grids of n_elements (a multiple of WR*128); vh1/gh1:
+    unew/u0: flat grids of n_elements (a multiple of bt.wr*128); vh1/gh1:
     (MMb, n_tiles*T) in tile order.  node_data must be threaded through the
     caller's jit as explicit inputs.
     """
+    T, WR = bt.T, bt.wr  # noqa: N806 — shadow the module defaults on purpose
     wsize = WR * 128
     assert n_elements % wsize == 0
     NW = n_elements // wsize
@@ -531,8 +582,8 @@ class BoundaryHybrid:
             vh["d"] = (self.dense.n_sub, MMb, SUBW)
             u2b["d"] = (self.dense.n_sub * SUBW,)
         if self.tiles is not None:
-            vh["t"] = (MMb, self.tiles.n_tiles * TILE_T)
-            u2b["t"] = (self.tiles.n_tiles * TILE_T,)
+            vh["t"] = (MMb, self.tiles.n_tiles * self.tiles.T)
+            u2b["t"] = (self.tiles.n_tiles * self.tiles.T,)
         return vh, u2b
 
 
@@ -553,7 +604,7 @@ def _pad_tiles_to(bt: BoundaryTiles, n_tiles: int, dtype) -> BoundaryTiles:
         ssaf=np.r_[bt.ssaf, np.zeros(add * T, dtype)],
         mat=np.r_[bt.mat, np.full(add * T, Nm, np.int32)],
         table=bt.table, n_windows=bt.n_windows,
-        node_slot=bt.node_slot)
+        node_slot=bt.node_slot, T=bt.T, wr=bt.wr)
 
 
 def partition_boundary_hybrid(bnl_ixyz, ssaf, mat_bnl, mat_coeffs,
@@ -561,15 +612,17 @@ def partition_boundary_hybrid(bnl_ixyz, ssaf, mat_bnl, mat_coeffs,
                               min_fill: int | None = None,
                               pad_sub: int | None = None,
                               pad_tiles: int | None = None,
-                              force_both: bool = False) -> BoundaryHybrid:
+                              force_both: bool = False,
+                              t_wr: tuple[int, int] | None = None
+                              ) -> BoundaryHybrid:
     """Split nodes by subwindow fill into dense + tiled partitions.
 
-    pad_sub / pad_tiles / force_both keep multiple shards in kernel
-    lockstep: every shard runs both kernels with fleet-max static shapes."""
+    pad_sub / pad_tiles / force_both / t_wr keep multiple shards in kernel
+    lockstep: every shard runs both kernels with fleet-max static shapes.
+    t_wr pins the tiled kernel's (T, WR); default picks them per scene via
+    choose_tile_params."""
     mf = MIN_FILL if min_fill is None else min_fill
-    sub = np.asarray(bnl_ixyz) // SUBW
-    uniq, counts = np.unique(sub, return_counts=True)
-    dense_mask = np.isin(sub, uniq[counts >= mf])
+    dense_mask = split_dense_mask(bnl_ixyz, mf)
 
     bdense = None
     if dense_mask.any() or pad_sub or force_both:
@@ -579,14 +632,21 @@ def partition_boundary_hybrid(bnl_ixyz, ssaf, mat_bnl, mat_coeffs,
 
     btiles = None
     tm = ~dense_mask
+    T = wr = None
+    if t_wr is not None:
+        T, wr = t_wr
+    elif tm.any():
+        T, wr = choose_tile_params([bnl_ixyz[tm]], n_elements)
     if tm.any():
         btiles = partition_boundary(bnl_ixyz[tm], ssaf[tm], mat_bnl[tm],
-                                    mat_coeffs, n_elements, dtype=dtype)
+                                    mat_coeffs, n_elements, dtype=dtype,
+                                    T=T, wr=wr)
     elif pad_tiles or force_both:
         Nm = mat_coeffs.b.shape[0] - 1
         btiles = partition_boundary(
             np.array([0], np.int64), np.zeros(1, dtype),
-            np.full(1, Nm, np.int32), mat_coeffs, n_elements, dtype=dtype)
+            np.full(1, Nm, np.int32), mat_coeffs, n_elements, dtype=dtype,
+            T=T, wr=wr)
     if btiles is not None and pad_tiles:
         btiles = _pad_tiles_to(btiles, pad_tiles, dtype)
     return BoundaryHybrid(dense=bdense, tiles=btiles)
