@@ -52,7 +52,7 @@ WR = int(os.environ.get("PFFDTD_BOUNDARY_WR", "512"))
 TILE_T = int(os.environ.get("PFFDTD_BOUNDARY_T", "512"))
 
 
-def choose_tile_params(bnl_arrays, n_elements) -> tuple[int, int]:
+def choose_tile_params(bnl_arrays, n_elements, with_cost: bool = False):
     """Pick (T, WR) minimizing a fitted v5e cost model for the tiled kernel.
 
     cost[ms] = 7.2e-9 * n_tiles*T*WR  (exact one-hot MXU matmuls)
@@ -65,14 +65,14 @@ def choose_tile_params(bnl_arrays, n_elements) -> tuple[int, int]:
     """
     env_t = os.environ.get("PFFDTD_BOUNDARY_T")
     env_w = os.environ.get("PFFDTD_BOUNDARY_WR")
-    if env_t and env_w:
-        return int(env_t), int(env_w)
     cand_t = [int(env_t)] if env_t else [128, 256, 512, 1024]
     cand_w = [int(env_w)] if env_w else [
         w for w in (128, 256, 512, 1024) if n_elements % (w * 128) == 0]
-    best, best_cost = None, np.inf
+    if not cand_w:
+        cand_w = [128]
+    best, best_cost = (cand_t[-1], cand_w[-1]), np.inf
     for wr in cand_w:
-        nwin = ncnt = 0
+        nwin = 0
         counts = []
         for a in bnl_arrays:
             _, c = np.unique(np.asarray(a) // (wr * 128),
@@ -84,6 +84,41 @@ def choose_tile_params(bnl_arrays, n_elements) -> tuple[int, int]:
             cost = 7.2e-9 * ntl * T * wr + 5e-4 * ntl + 1.5e-5 * nwin * wr
             if cost < best_cost:
                 best, best_cost = (T, wr), cost
+    return (best, best_cost) if with_cost else best
+
+
+# measured per-subwindow dense-kernel cost on v5e: streaming two
+# (MMb, 1024) f32 state planes in and out (~196 KB at ~335 GB/s) plus
+# fixed per-block overhead
+COST_PER_SUB_MS = 1.1e-3
+
+
+def choose_hybrid_split(bnl_arrays, n_elements):
+    """Jointly pick (min_fill, (T, WR)) minimizing dense + tiled cost.
+
+    For each min-fill candidate, subwindows at or above the threshold go
+    dense (cost = n_sub * COST_PER_SUB_MS) and the strays are priced by
+    choose_tile_params' model; the cheapest split wins.  Env
+    PFFDTD_BOUNDARY_MIN_FILL pins the threshold."""
+    env_mf = os.environ.get("PFFDTD_BOUNDARY_MIN_FILL")
+    # candidates cap at 96: the model's dense term is optimistic for very
+    # sparse subwindows and measured MV runs regress above this threshold
+    cand_mf = ([int(env_mf)] if env_mf else [16, 24, 32, 48, 64, 96])
+    subs = [np.asarray(a) // SUBW for a in bnl_arrays]
+    ucs = [np.unique(s, return_counts=True) for s in subs]
+    best, best_cost = None, np.inf
+    for mf in cand_mf:
+        n_sub = sum(int((c >= mf).sum()) for _, c in ucs)
+        strays = [a[~np.isin(s, u[c >= mf])]
+                  for a, s, (u, c) in zip(bnl_arrays, subs, ucs)]
+        if any(s.size for s in strays):
+            t_wr, tiled_cost = choose_tile_params(
+                strays, n_elements, with_cost=True)
+        else:
+            t_wr, tiled_cost = None, 0.0
+        cost = n_sub * COST_PER_SUB_MS + tiled_cost
+        if cost < best_cost:
+            best, best_cost = (mf, t_wr), cost
     return best
 
 
@@ -619,9 +654,15 @@ def partition_boundary_hybrid(bnl_ixyz, ssaf, mat_bnl, mat_coeffs,
 
     pad_sub / pad_tiles / force_both / t_wr keep multiple shards in kernel
     lockstep: every shard runs both kernels with fleet-max static shapes.
-    t_wr pins the tiled kernel's (T, WR); default picks them per scene via
-    choose_tile_params."""
-    mf = MIN_FILL if min_fill is None else min_fill
+    min_fill=None jointly optimizes the split threshold AND the tiled
+    kernel's (T, WR) against the fitted cost model (choose_hybrid_split);
+    both can be pinned via min_fill / t_wr or the env knobs."""
+    if min_fill is None:
+        mf, auto_twr = choose_hybrid_split([bnl_ixyz], n_elements)
+        if t_wr is None:
+            t_wr = auto_twr
+    else:
+        mf = min_fill
     dense_mask = split_dense_mask(bnl_ixyz, mf)
 
     bdense = None

@@ -26,9 +26,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from pffdtd_tpu.engine.jax_engine import EngineData
 from pffdtd_tpu.engine.pallas_boundary import (WR, build_boundary_hybrid,
-                                               choose_tile_params,
-                                               partition_boundary_hybrid,
-                                               split_dense_mask)
+                                               choose_hybrid_split,
+                                               partition_boundary_hybrid)
 from pffdtd_tpu.engine.pallas_stencil import (build_fused_stencil_sharded,
                                               pick_tile_x)
 from pffdtd_tpu.io.h5 import SimFolder
@@ -100,16 +99,16 @@ class ShardedPallasEngine:
                     d.mat_bnl[own][order])
 
         locs = [_loc(k) for k in range(D)]
-        # one (T, WR) for the whole fleet, chosen on the union of the
-        # shards' stray-node sets (kernel shapes must match across shards)
-        strays = [loc[~split_dense_mask(loc)] for loc, _, _ in locs]
-        t_wr = choose_tile_params(strays, flat_loc)
+        # one (min_fill, T, WR) for the whole fleet, chosen on the union of
+        # the shards' node sets (kernel shapes must match across shards)
+        mf, t_wr = choose_hybrid_split([loc for loc, _, _ in locs], flat_loc)
 
         def _part(k, pad_sub=None, pad_tiles=None):
             loc, sa, mt = locs[k]
             return partition_boundary_hybrid(
-                loc, sa, mt, d.mc, flat_loc, dtype=d.dtype, pad_sub=pad_sub,
-                pad_tiles=pad_tiles, force_both=True, t_wr=t_wr)
+                loc, sa, mt, d.mc, flat_loc, dtype=d.dtype, min_fill=mf,
+                pad_sub=pad_sub, pad_tiles=pad_tiles, force_both=True,
+                t_wr=t_wr)
 
         sizes = [_part(k) for k in range(D)]
         ns_max = max(bh.dense.n_sub for bh in sizes)
