@@ -157,6 +157,12 @@ def main(argv=None):
     p.add_argument("--air_abs_filter", default="none",
                    choices=["none", "stokes", "modal", "ola"])
     p.add_argument("--save_wav", action="store_true")
+    p.add_argument("--plot", action="store_true",
+                   help="plot time traces + spectra per receiver "
+                        "(reference parity: process_outputs.py:207-269); "
+                        "saves rirs.png into the sim folder")
+    p.add_argument("--show", action="store_true",
+                   help="with --plot, open a window instead of saving")
     args = p.parse_args(argv)
 
     po = ProcessOutputs(Path(args.data_dir))
@@ -175,6 +181,13 @@ def main(argv=None):
     po.save_h5()
     if args.save_wav:
         po.save_wav()
+    if args.plot:
+        from pffdtd_tpu.viz import plot_rirs
+
+        fname = None if args.show else Path(args.data_dir) / "rirs.png"
+        plot_rirs(po.r_out_f, po.Fs_f, fname=fname)
+        if fname:
+            print(f"--PROCESS: wrote {fname}")
 
 
 if __name__ == "__main__":

@@ -63,6 +63,10 @@ def _cmd_process(args):
         argv.append("--symmetric_lowpass")
     if args.save_wav:
         argv.append("--save_wav")
+    if args.plot:
+        argv.append("--plot")
+    if args.show:
+        argv.append("--show")
     process_main(argv)
 
 
@@ -118,6 +122,10 @@ def main(argv=None):
     pp.add_argument("--air_abs_filter", default="none",
                     choices=["none", "stokes", "modal", "ola"])
     pp.add_argument("--save_wav", action="store_true")
+    pp.add_argument("--plot", action="store_true",
+                    help="save time/spectra plots per receiver (rirs.png)")
+    pp.add_argument("--show", action="store_true",
+                    help="with --plot, open a window instead of saving")
     pp.set_defaults(fn=_cmd_process)
 
     pr = sub.add_parser("prep", help="rotate/fold/sort a sim folder")

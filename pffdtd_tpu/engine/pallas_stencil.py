@@ -15,12 +15,20 @@ gpu_engine.h:220-348's separate air/boundary kernels).  The bit masking and
 rolls are free — the kernel is DMA-bound (measured ~equal to a pure-copy
 kernel of the same structure).
 
-ABC and the lossy-impedance updates are applied OUTSIDE the kernel (thin XLA
-slice/sparse ops).  The output does NOT alias u0: the step reads thin u0
-face slices after the kernel (ABC), and aliasing would force XLA to copy the
-whole grid every step to keep u0 alive.  The few rows the tile loop never
-computes (global row 0 and the x padding tail) are filled from u0 by two
-small HBM->HBM DMAs so the output buffer is always fully defined.
+The first-order Engquist-Majda ABC is FUSED into the kernel too: each
+output block gets thin face/edge slice updates (u <- (u + l*Q*u0)/(1+l*Q))
+fed by the pre-update u0 rows already resident in VMEM, so no post-kernel
+pass ever has to re-read the grid.
+
+DANGER — the output ALIASES u0 (input_output_aliases={1: 0}): the kernel
+DESTROYS u0's buffer as it streams output blocks in.  Nothing downstream may
+read u0 after this kernel runs.  The engine's step obeys this by (a) pulling
+any u0-derived values (lossy-boundary u^{n-1}) from a packed carry written
+two steps earlier, never from the grid, and (b) fusing all u0-consuming work
+(ABC) in-kernel.  The few rows the tile loop never computes (global row 0
+and the x padding tail) are filled from u0 by two small HBM->HBM DMAs issued
+before any output DMA can overwrite them, so the output buffer is always
+fully defined.
 """
 
 from __future__ import annotations
@@ -267,8 +275,8 @@ def build_fused_stencil(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
         return pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((Nxp, Nyp, Nzp), dtype),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
-            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
             input_output_aliases={1: 0},  # out aliases u0
             compiler_params=pltpu.CompilerParams(
                 has_side_effects=True,
@@ -476,8 +484,8 @@ def build_fused_stencil_sharded(grid, S, sc, fcc: bool, dtype=jnp.float32,
             kernel,
             out_shape=jax.ShapeDtypeStruct((Nxp_loc, Nyp, Nzp), dtype),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-            + [pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
-            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            + [pl.BlockSpec(memory_space=pl.ANY)] * 3,
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
             input_output_aliases={2: 0},  # out aliases u0
             compiler_params=pltpu.CompilerParams(
                 has_side_effects=True,

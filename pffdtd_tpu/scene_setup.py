@@ -78,8 +78,15 @@ def sim_setup_from_room(
     block_size: int = 32,
     vox_backend: str = "auto",
     check_adj: bool = True,
+    draw_vox: bool = False,
+    draw_backend: str = "save",
 ) -> SimData:
-    """Voxelize a RoomGeo and build all simulation inputs."""
+    """Voxelize a RoomGeo and build all simulation inputs.
+
+    draw_vox: render the voxelized boundary nodes over the scene after
+    adjacency is built (parity: /root/reference/python/sim_setup.py:44-45,
+    draw hook at 127-140); draw_backend='save' writes a PNG next to
+    save_folder (or ./voxelization.png), 'show' opens a window."""
     if mats is None:
         mats = mats_from_DEF_list([])
 
@@ -100,6 +107,16 @@ def sim_setup_from_room(
     if check_adj:
         vs.check_adj_full()
     comms.check_for_clashes(vs.bn_ixyz)
+
+    if draw_vox:
+        from pffdtd_tpu.viz import plot_voxelization
+
+        fname = None
+        if draw_backend == "save":
+            fname = (Path(save_folder) / "voxelization.png"
+                     if save_folder is not None else Path("voxelization.png"))
+            Path(fname).parent.mkdir(parents=True, exist_ok=True)
+        plot_voxelization(vs, fname=fname)
 
     consts_data = SimConstsData(
         c=consts.c, h=consts.h, Ts=consts.Ts, SR=consts.SR, l=consts.l,

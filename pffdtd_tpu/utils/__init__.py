@@ -32,8 +32,14 @@ def sub2ind3d(ix, iy, iz, Nx, Ny, Nz):
 
 
 def rel_diff(x0, x1):
-    """Difference normalised to the binary exponent of x0 (machine-eps units)."""
-    return (x0 - x1) / (2.0 ** np.floor(np.log2(np.abs(x0))))
+    """Difference normalised to the binary exponent of x0 (machine-eps units).
+
+    Zero entries of x0 (e.g. the first step's E_in before any input energy)
+    normalise by 2^0, i.e. degrade to the raw difference instead of inf/nan.
+    """
+    ax = np.abs(np.asarray(x0, np.float64))
+    expo = np.where(ax > 0, np.floor(np.log2(np.where(ax > 0, ax, 1.0))), 0.0)
+    return (x0 - x1) / (2.0 ** expo)
 
 
 def dotv(v1, v2):

@@ -49,9 +49,11 @@ def test_cli_sim_and_process(tmp_path):
     main(["sim", "--data_dir", str(tmp_path), "--f64", "--energy"])
     assert (tmp_path / "sim_outs.h5").exists()
     main(["process", "--data_dir", str(tmp_path), "--fcut_lowpass", "800",
-          "--symmetric_lowpass", "--air_abs_filter", "ola", "--save_wav"])
+          "--symmetric_lowpass", "--air_abs_filter", "ola", "--save_wav",
+          "--plot"])
     assert (tmp_path / "sim_outs_processed.h5").exists()
     assert (tmp_path / "R001_out_normalised.wav").exists()
+    assert (tmp_path / "rirs.png").stat().st_size > 1000
 
 
 def test_cli_numpy_engine(tmp_path):

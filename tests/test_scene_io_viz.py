@@ -43,6 +43,26 @@ def test_reference_csv_files():
     assert s.shape[1] == 3 and r.shape[1] == 3 and len(s) >= 1
 
 
+def test_rel_diff_zero_guard():
+    from pffdtd_tpu.utils import rel_diff
+
+    d = rel_diff(np.array([0.0, 4.0]), np.array([0.0, 4.0 + 4e-16]))
+    assert np.isfinite(d).all()
+    assert d[0] == 0.0
+    assert abs(d[1]) < 1e-15
+
+
+def test_draw_vox_hook(tmp_path):
+    """sim_setup's draw_vox hook renders the voxelization to a PNG
+    (reference parity: sim_setup.py:44-45 draw path)."""
+    from pffdtd_tpu.scene_setup import sim_setup_from_room
+
+    rg = make_shoebox()
+    sim_setup_from_room(rg, duration=5e-4, fmax=700.0, PPW=7.7,
+                        save_folder=tmp_path, draw_vox=True)
+    assert (tmp_path / "voxelization.png").stat().st_size > 1000
+
+
 def test_viz_smoke(tmp_path):
     from pffdtd_tpu.demo import synthetic_box_sim
     from pffdtd_tpu.engine.numpy_ref import NumpyEngine
