@@ -68,7 +68,8 @@ def make_shoebox_room(Lx=2.0, Ly=3.0, Lz=2.5, mats=None, sides=None) -> RoomGeo:
 def synthetic_box_sim(Lx=8.0, Ly=6.0, Lz=5.0, h=0.02, duration=None, Nt=None,
                       fcc=False, lossy=True, Tc=20.0, rh=50.0,
                       insig_type="impulse", diff_source=None,
-                      pad_x_to: int | None = None) -> SimData:
+                      pad_x_to: int | None = None,
+                      DEF: np.ndarray | None = None) -> SimData:
     """Analytic axis-aligned box sim data at arbitrary scale.
 
     Boundary adjacency: a leg from an in-room grid point is cut iff the
@@ -147,7 +148,7 @@ def synthetic_box_sim(Lx=8.0, Ly=6.0, Lz=5.0, h=0.02, duration=None, Nt=None,
     ncut = (~adj_bn).sum(-1).astype(np.float64)
     if lossy:
         mat_bn = np.zeros(bn_ixyz.size, np.int8)
-        mats = mats_from_DEF_list([DEMO_DEF])
+        mats = mats_from_DEF_list([DEMO_DEF if DEF is None else DEF])
     else:
         mat_bn = np.full(bn_ixyz.size, -1, np.int8)
         mats = mats_from_DEF_list([])
