@@ -171,9 +171,13 @@ class EngineData:
             flat = int(np.prod(self.grid.shape))
             mode = _os.environ.get("PFFDTD_BOUNDARY_MODE", "hybrid")
             mf = {"hybrid": None, "dense": 1, "tiled": 10 ** 9}[mode]
+            zgrid = (self.grid.shape
+                     if mode == "hybrid"
+                     and _os.environ.get("PFFDTD_ZPLANES", "1") != "0"
+                     else None)
             self.bhyb = partition_boundary_hybrid(
                 self.bnl_ixyz, self.ssaf_bnl, self.mat_bnl, self.mc,
-                flat, dtype=self.dtype, min_fill=mf)
+                flat, dtype=self.dtype, min_fill=mf, grid_shape=zgrid)
             vhs, u2s = self.bhyb.state_shapes()
             self.Nbl_state = sum(int(np.prod(s)) for s in u2s.values())
 
@@ -331,8 +335,13 @@ def build_step(data: EngineData, energy: bool = False,
         assert not energy, "energy accounting uses the xla backend"
         assert rigid == "dense"
         jdt = jnp.float32 if dtype == np.float32 else jnp.float64
+        zpl = data.bhyb.zplanes if data.bhyb is not None else None
         fused = build_fused_stencil(g, sc, data.fcc, dtype=jdt,
-                                    TX=data.tile_x or 8, interpret=interpret)
+                                    TX=data.tile_x or 8, interpret=interpret,
+                                    zplanes=zpl)
+        if zpl is not None:
+            consts["zssaf"] = zpl.ssaf
+            consts["zcoefs"] = zpl.coefs
 
         def _lossy_xla(u2b, unew, vh1, gh1, C):
             unew_f = unew.reshape(-1)
@@ -351,7 +360,8 @@ def build_step(data: EngineData, energy: bool = False,
             return unew_f.reshape(g.shape), vh0, gh_new
 
         lossy_update = None
-        if data.bhyb is not None:
+        if data.bhyb is not None and (data.bhyb.dense is not None
+                                      or data.bhyb.tiles is not None):
             from pffdtd_tpu.engine.pallas_boundary import \
                 build_boundary_hybrid
 
@@ -368,11 +378,17 @@ def build_step(data: EngineData, energy: bool = False,
             # reason (a post-kernel read would force a full-grid copy)
             u0, u1, vh1, gh1, (u2b_old, u2b_cur) = carry
             u0_bnl = (u0.reshape(-1)[C["bnl"]]
-                      if (lossy_update is None and data.Nbl) else None)
-            # flips + masked stencil + leapfrog + ABC, one fused HBM pass
-            # (u0's buffer is destroyed by output aliasing — nothing reads
-            # u0 afterwards: lossy u2b comes from the packed carry)
-            unew = fused(u1, u0, C["adj_grid"])
+                      if (data.bhyb is None and data.Nbl) else None)
+            # flips + masked stencil + leapfrog + ABC (+ the z-plane
+            # impedance ODE), one fused HBM pass (u0's buffer is destroyed
+            # by output aliasing — nothing reads u0 afterwards: lossy u2b
+            # comes from the packed carry; z-planes take u^{n-1} from the
+            # resident u0 block inside the kernel)
+            if zpl is not None:
+                unew, vhz, ghz = fused(u1, u0, C["adj_grid"], vh1["z"],
+                                       gh1["z"], C["zssaf"], C["zcoefs"])
+            else:
+                unew = fused(u1, u0, C["adj_grid"])
             u2b_pair = (u2b_old, u2b_cur)
             if lossy_update is not None:
                 # u2b is u^{n-1} at the nodes = the boundary output from TWO
@@ -381,8 +397,13 @@ def build_step(data: EngineData, energy: bool = False,
                     unew.reshape(-1), u2b_old, vh1, gh1, C["bnode"])
                 unew = unew_f.reshape(g.shape)
                 u2b_pair = (u2b_cur, u2b_new)
-            else:
+            elif data.bhyb is None:
                 unew, vh0, gh_new = _lossy_xla(u0_bnl, unew, vh1, gh1, C)
+            else:
+                vh0, gh_new = {}, {}
+            if zpl is not None:
+                vh0 = {**vh0, "z": vhz}
+                gh_new = {**gh_new, "z": ghz}
             unew_f = unew.reshape(-1)
             unew_f = unew_f.at[C["in_ixyz"]].add(sig_n.astype(dtype))
             unew = unew_f.reshape(g.shape)

@@ -594,12 +594,129 @@ def build_boundary_dense(bd: BoundaryDense, sc, n_elements,
     return update, node_data
 
 
-# --------------------------------------------------------------- hybrid mode
+# -------------------------------------------------------------- zplane mode
 # Surfaces whose normal is the fastest (z) axis are strided by Nzp in flat
-# order — a couple of nodes per 1024-element subwindow — and dense states for
-# them would blow HBM by ~100x.  The hybrid splits nodes by subwindow fill:
-# clustered nodes (x/y-normal walls: contiguous z-runs) take the gather-free
-# dense kernel, sparse stragglers take the one-hot tiled kernel.
+# order: one or two nodes per 1024-element subwindow.  Until round 2 they
+# went through the tiled one-hot kernel, whose window stream re-reads and
+# re-writes essentially the WHOLE grid once per step (floors/ceilings touch
+# every window).  The z-plane partition removes that traffic entirely: nodes
+# at a common (z, material) form a dense (x, y) plane, and the impedance ODE
+# for a plane is evaluated INSIDE the fused stencil kernel while the slab is
+# already resident in VMEM — the only extra HBM traffic is the branch states
+# themselves ((x, MMb, y) blocks, node-proportional) plus a small per-plane
+# ssaf sheet.  Lane extraction/insertion uses an iota==z mask (TPUs have no
+# vector gather; a masked reduce over the resident block is ~1k VPU cycles).
+# FCC parity holes and positions outside the room carry ssaf = 0, for which
+# the pressure update is the exact identity.
+
+ZPLANE_MIN_COUNT = int(os.environ.get("PFFDTD_ZPLANE_MIN_COUNT", "1024"))
+# a plane streams full (Nxp, MMb, Nyp) state blocks regardless of fill, so
+# the cost-relevant density is nodes / (Nxp*Nyp); floors/ceilings sit at
+# 0.5-1.0 (FCC parity: 0.5), perimeter "rings" of x/y-normal walls at a
+# given z are O(1/sqrt(area)) and must stay in the dense/tiled partitions
+ZPLANE_MIN_DENSITY = float(os.environ.get("PFFDTD_ZPLANE_MIN_DENSITY",
+                                          "0.05"))
+
+
+@dataclass
+class BoundaryZPlanes:
+    """Host-built per-z-plane boundary data (single material per plane).
+
+    Arrays are x-major — states (Nxp, P, MMb, Nyp), ssaf (Nxp, P, Nyp) — so
+    the stencil kernel fetches ONE contiguous (TX, P, MMb, Nyp) block per
+    x-row tile covering every plane at once.
+    """
+
+    P: int
+    zp: np.ndarray       # (P,) int32 lane index of each plane (static)
+    xlo: np.ndarray      # (P,) int32 first x row with a node
+    xhi: np.ndarray      # (P,) int32 one past the last x row with a node
+    ssaf: np.ndarray     # (Nxp, P, Nyw)  (y lane-padded to 128)
+    coefs: np.ndarray    # (P, 5*MZ, Nyw): b|bd|bDh|bFh|beta rows,
+    #                      replicated across the lane (y) dim; MZ = MMb
+    #                      sublane-padded to 16 (HBM slices tile (8, 128))
+    node_plane: np.ndarray  # plane id of each selected node
+    node_x: np.ndarray
+    node_y: np.ndarray
+
+    @property
+    def MZ(self):
+        return self.coefs.shape[1] // 5
+
+    def state_shape(self, Nxp):
+        return (Nxp, self.P, self.MZ, self.ssaf.shape[2])
+
+
+def partition_boundary_zplanes(bnl_ixyz, ssaf, mat_bnl, mat_coeffs,
+                               grid_shape, dtype=np.float32,
+                               min_count: int | None = None,
+                               min_density: float | None = None):
+    """Extract (z, material) groups dense enough for the in-kernel plane ODE.
+
+    Returns (BoundaryZPlanes | None, selected_mask).  A group qualifies when
+    it has >= min_count nodes covering >= min_density of the full (x, y)
+    plane (the cost-relevant fill: state blocks stream at full plane width).
+    """
+    mc = (int(os.environ.get("PFFDTD_ZPLANE_MIN_COUNT", ZPLANE_MIN_COUNT))
+          if min_count is None else min_count)
+    md = (float(os.environ.get("PFFDTD_ZPLANE_MIN_DENSITY",
+                               ZPLANE_MIN_DENSITY))
+          if min_density is None else min_density)
+    Nxp, Nyp, Nzp = grid_shape
+    bnl_ixyz = np.asarray(bnl_ixyz)
+    iz = (bnl_ixyz % Nzp).astype(np.int32)
+    iy = ((bnl_ixyz // Nzp) % Nyp).astype(np.int32)
+    ix = (bnl_ixyz // (Nzp * Nyp)).astype(np.int32)
+
+    sel = np.zeros(bnl_ixyz.size, bool)
+    planes = []
+    key = iz.astype(np.int64) * 256 + mat_bnl.astype(np.int64)
+    for k in np.unique(key):
+        m = key == k
+        n = int(m.sum())
+        if n < mc:
+            continue
+        if n < md * Nxp * Nyp:
+            continue
+        x0, x1 = int(ix[m].min()), int(ix[m].max()) + 1
+        planes.append((int(k // 256), int(k % 256), x0, x1, m))
+        sel |= m
+
+    if not planes:
+        return None, sel
+
+    P = len(planes)
+    # per-tile state DMA slices tile (8, 128) on the last two dims: the
+    # branch dim pads to MZ=16 (zero coefficient rows are exact no-ops) and
+    # the lane (y) extent to a 128 multiple
+    MZ = -(-MMb // 8) * 8
+    Nyw = -(-Nyp // 128) * 128
+    ssaf_pl = np.zeros((Nxp, P, Nyw), dtype)
+    coefs = np.zeros((P, 5 * MZ, Nyw), dtype)
+    zp = np.zeros(P, np.int32)
+    xlo = np.zeros(P, np.int32)
+    xhi = np.zeros(P, np.int32)
+    node_plane = np.full(bnl_ixyz.size, -1, np.int32)
+    for p, (z, mat, x0, x1, m) in enumerate(planes):
+        zp[p] = z
+        xlo[p], xhi[p] = x0, x1
+        ssaf_pl[ix[m], p, iy[m]] = ssaf[m]
+        node_plane[m] = p
+        pad = np.zeros(MZ - MMb)
+        co = np.concatenate([mat_coeffs.b[mat], pad, mat_coeffs.bd[mat], pad,
+                             mat_coeffs.bDh[mat], pad, mat_coeffs.bFh[mat],
+                             pad, np.full(MMb, mat_coeffs.beta[mat]), pad])
+        coefs[p] = co[:, None]
+    bz = BoundaryZPlanes(P=P, zp=zp, xlo=xlo, xhi=xhi, ssaf=ssaf_pl,
+                         coefs=coefs, node_plane=node_plane[sel],
+                         node_x=ix[sel], node_y=iy[sel])
+    return bz, sel
+
+
+# --------------------------------------------------------------- hybrid mode
+# Remaining nodes split by subwindow fill: clustered nodes (x/y-normal
+# walls: contiguous z-runs) take the gather-free dense kernel, sparse
+# stragglers take the one-hot tiled kernel.
 
 MIN_FILL = int(os.environ.get("PFFDTD_BOUNDARY_MIN_FILL", "96"))
 
@@ -608,9 +725,14 @@ MIN_FILL = int(os.environ.get("PFFDTD_BOUNDARY_MIN_FILL", "96"))
 class BoundaryHybrid:
     dense: BoundaryDense | None
     tiles: BoundaryTiles | None
+    zplanes: BoundaryZPlanes | None = None
+    Nxp: int = 0  # grid x extent (z-plane state shape)
 
     def state_shapes(self):
-        """(vh/gh shapes, u2b sizes) keyed like the runtime pytrees."""
+        """(vh/gh shapes, u2b sizes) keyed like the runtime pytrees.
+
+        z-plane states carry no packed u2b: the stencil kernel reads
+        u^{n-1} at the plane lanes straight from the resident u0 block."""
         vh = {}
         u2b = {}
         if self.dense is not None:
@@ -619,6 +741,8 @@ class BoundaryHybrid:
         if self.tiles is not None:
             vh["t"] = (MMb, self.tiles.n_tiles * self.tiles.T)
             u2b["t"] = (self.tiles.n_tiles * self.tiles.T,)
+        if self.zplanes is not None:
+            vh["z"] = self.zplanes.state_shape(self.Nxp)
         return vh, u2b
 
 
@@ -648,15 +772,34 @@ def partition_boundary_hybrid(bnl_ixyz, ssaf, mat_bnl, mat_coeffs,
                               pad_sub: int | None = None,
                               pad_tiles: int | None = None,
                               force_both: bool = False,
-                              t_wr: tuple[int, int] | None = None
+                              t_wr: tuple[int, int] | None = None,
+                              grid_shape: tuple[int, int, int] | None = None,
                               ) -> BoundaryHybrid:
-    """Split nodes by subwindow fill into dense + tiled partitions.
+    """Split nodes into z-plane + dense + tiled partitions.
 
+    grid_shape (Nxp, Nyp, Nzp) enables the z-plane extraction (fused into
+    the stencil kernel); without it the round-1 dense/tiled split runs
+    unchanged (the sharded engines use that form for fleet lockstep).
     pad_sub / pad_tiles / force_both / t_wr keep multiple shards in kernel
     lockstep: every shard runs both kernels with fleet-max static shapes.
     min_fill=None jointly optimizes the split threshold AND the tiled
     kernel's (T, WR) against the fitted cost model (choose_hybrid_split);
     both can be pinned via min_fill / t_wr or the env knobs."""
+    zplanes = None
+    Nxp = 0
+    if grid_shape is not None and bnl_ixyz.size:
+        Nxp = int(grid_shape[0])
+        zplanes, zsel = partition_boundary_zplanes(
+            bnl_ixyz, ssaf, mat_bnl, mat_coeffs, grid_shape, dtype=dtype)
+        if zplanes is not None:
+            bnl_ixyz = bnl_ixyz[~zsel]
+            ssaf = ssaf[~zsel]
+            mat_bnl = mat_bnl[~zsel]
+    if not bnl_ixyz.size and zplanes is not None and not (pad_sub or
+                                                          pad_tiles or
+                                                          force_both):
+        return BoundaryHybrid(dense=None, tiles=None, zplanes=zplanes,
+                              Nxp=Nxp)
     if min_fill is None:
         mf, auto_twr = choose_hybrid_split([bnl_ixyz], n_elements)
         if t_wr is None:
@@ -690,7 +833,8 @@ def partition_boundary_hybrid(bnl_ixyz, ssaf, mat_bnl, mat_coeffs,
             T=T, wr=wr)
     if btiles is not None and pad_tiles:
         btiles = _pad_tiles_to(btiles, pad_tiles, dtype)
-    return BoundaryHybrid(dense=bdense, tiles=btiles)
+    return BoundaryHybrid(dense=bdense, tiles=btiles, zplanes=zplanes,
+                          Nxp=Nxp)
 
 
 def build_boundary_hybrid(bh: BoundaryHybrid, sc, n_elements,

@@ -61,11 +61,21 @@ def _roll2(x, dy, dz):
 
 
 def build_fused_stencil(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
-                        interpret: bool = False):
-    """Returns fn(u1, u0, adj) -> unew for (Nxp, Ny, Nzp) arrays.
+                        interpret: bool = False, zplanes=None):
+    """Returns fn(u1, u0, adj[, vh, gh, zssaf, zcoefs]) for (Nxp, Ny, Nzp)
+    arrays -> unew (or (unew, vh_new, gh_new) with z-planes).
 
     grid: GridSpec (true extents Nx/Ny/Nz, padded Nxp=x rows, Nzp=lanes);
     sc: SchemeCoeffs.  Requires Nxp >= NXT*TX + 2 where NXT = ceil((Nx-2)/TX).
+
+    zplanes: optional BoundaryZPlanes — frequency-dependent impedance
+    boundaries on z-normal planes are updated IN-KERNEL while the slab is
+    resident: the plane's lane column is extracted from the freshly computed
+    output block with an iota==z mask, the branch ODE (cpu_engine.h:362-405
+    semantics) runs densely over (TX, MMb, Nyp), and the column is written
+    back with an exact select.  u^{n-1} at the nodes comes from the resident
+    u0 block — no packed carry, and no second HBM pass over the grid.
+    States/ssaf stream as one contiguous (TX, P, ...) block per tile.
     """
     Nx, Ny, Nz = grid.Nx, grid.Ny, grid.Nz
     Nxp, Nyp, Nzp = grid.shape
@@ -81,16 +91,59 @@ def build_fused_stencil(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
     sl2 = npdt(sc.sl2)
     two = npdt(2.0)
     l_ = sc.l
+    lo2 = npdt(sc.lo2)
+    lv_ = npdt(sc.l)
     # ABC weights per Q in {0,1,2,3}: u <- (u + l*Q*u0) / (1 + l*Q)
     abc_w = [np.float64(1.0 / (1.0 + l_ * q)) for q in range(4)]
+
+    P = zplanes.P if zplanes is not None else 0
+    zp_lanes = [int(z) for z in zplanes.zp] if P else []
+    # z-state arrays carry a 128-aligned lane (y) extent and a 16-padded
+    # branch dim (HBM slice tiling); extracted grid columns are (TX, Nyp)
+    # and get zero-padded up to match
+    Nyw = zplanes.ssaf.shape[2] if P else 0
+    MZ = zplanes.MZ if P else 8
 
     # tile that contains the high-x halo row (its slab needs the x flip)
     t_hi = (Nx - 2 - 1) // TX           # tile updating global row Nx-2
     j_hi = (Nx - 1) - (t_hi * TX)       # slab-local index of row Nx-1 is
     # slab rows cover global [t*TX, t*TX+TX+1]; local slab idx of gx is gx-t*TX
 
-    def kernel(u1_h, u0_h, adj_h, out_h):
-        def body(slab, u0b, adjb, outb, sem_in, sem_out, sem_pre):
+    def kernel(*refs):
+        if P:
+            (u1_h, u0_h, adj_h, vh_h, gh_h, zsaf_h, zco,
+             out_h, vho_h, gho_h) = refs
+        else:
+            u1_h, u0_h, adj_h, out_h = refs
+            vh_h = gh_h = zsaf_h = zco = vho_h = gho_h = None
+
+        def body(slab, u0b, adjb, outb, zvh, zgh, zsf,
+                 sem_in, sem_out, sem_pre, sem_zin, sem_zout):
+
+            def z_in_copies(t, slot):
+                rs = t * TX
+                return [
+                    pltpu.make_async_copy(
+                        vh_h.at[pl.ds(rs + 1, TX)], zvh.at[slot],
+                        sem_zin.at[slot, 0]),
+                    pltpu.make_async_copy(
+                        gh_h.at[pl.ds(rs + 1, TX)], zgh.at[slot],
+                        sem_zin.at[slot, 1]),
+                    pltpu.make_async_copy(
+                        zsaf_h.at[pl.ds(rs + 1, TX)], zsf.at[slot],
+                        sem_zin.at[slot, 2]),
+                ]
+
+            def z_out_copies(t, slot):
+                rs = t * TX
+                return [
+                    pltpu.make_async_copy(
+                        zvh.at[slot], vho_h.at[pl.ds(rs + 1, TX)],
+                        sem_zout.at[slot, 0]),
+                    pltpu.make_async_copy(
+                        zgh.at[slot], gho_h.at[pl.ds(rs + 1, TX)],
+                        sem_zout.at[slot, 1]),
+                ]
 
             def start_in(t, slot):
                 rs = t * TX
@@ -105,6 +158,8 @@ def build_fused_stencil(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                         adj_h.at[pl.ds(rs + 1, TX)], adjb.at[slot],
                         sem_in.at[slot, 2]),
                 ]
+                if P:
+                    cps += z_in_copies(t, slot)
                 for c in cps:
                     c.start()
 
@@ -119,6 +174,9 @@ def build_fused_stencil(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                 pltpu.make_async_copy(
                     adj_h.at[pl.ds(rs + 1, TX)], adjb.at[slot],
                     sem_in.at[slot, 2]).wait()
+                if P:
+                    for c in z_in_copies(t, slot):
+                        c.wait()
 
             def out_copy(t, slot):
                 return pltpu.make_async_copy(
@@ -139,7 +197,7 @@ def build_fused_stencil(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
 
             start_in(0, 0)
 
-            def loop(t, _):
+            def loop_body(t):
                 slot = t % 2
 
                 @pl.when(t + 1 < NXT)
@@ -239,12 +297,67 @@ def build_fused_stencil(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                         outb[slot, r, ylo:yhi, 2:Nz - 2] = (
                             vals + lv * u0c[r, ylo:yhi, 2:Nz - 2]) * w1
 
-                # NOTE: ABC and halo handling happen OUTSIDE this kernel as
-                # cheap XLA slice updates (O(N^2) work); halo/pad positions in
-                # HBM may hold stale values — the mirror flips rebuild every
-                # halo from interior data at the start of each step, so stale
-                # halos never feed a live node.
+                # ---- z-plane impedance ODE on the freshly computed block:
+                # extract each plane's lane column with an exact one-hot
+                # mask, run the branch ODE densely over (TX, MMb, Nyp) (the
+                # ssaf=0 positions update u by the exact identity), and
+                # select the column back in.  u^{n-1} comes from the u0
+                # block still resident in VMEM.
+                if P:
+                    zv_all = zvh[slot]          # (TX, P, MMb, Nyp)
+                    zg_all = zgh[slot]
+                    zs_all = zsf[slot]          # (TX, P, Nyp)
+                    out_full = outb[slot]
+                    half = npdt(0.5)
+                    for p in range(P):
+                        zl = zp_lanes[p]
+                        lane = jax.lax.broadcasted_iota(
+                            jnp.int32, (1, 1, Nzp), 2) == zl
+                        lf = lane.astype(dtype)
+                        ub = jnp.sum(out_full * lf, axis=2)     # (TX, Nyp)
+                        u2b = jnp.sum(u0c * lf, axis=2)
+                        if Nyw > Nyp:
+                            zpad = jnp.zeros((TX, Nyw - Nyp), dtype)
+                            ub = jnp.concatenate([ub, zpad], axis=1)
+                            u2b = jnp.concatenate([u2b, zpad], axis=1)
+                        sa = zs_all[:, p]
+                        vh = zv_all[:, p]                       # (TX,MZ,Nyw)
+                        gh = zg_all[:, p]
+                        b = zco[p, 0 * MZ:1 * MZ][None]
+                        bd = zco[p, 1 * MZ:2 * MZ][None]
+                        bDh = zco[p, 2 * MZ:3 * MZ][None]
+                        bFh = zco[p, 3 * MZ:4 * MZ][None]
+                        beta = zco[p, 4 * MZ:4 * MZ + 1]        # (1, Nyw)
+                        lo2Kbg = lo2 * sa * beta
+                        ub_new = ub - lv_ * sa * jnp.sum(
+                            2.0 * bDh * vh - bFh * gh, axis=1)
+                        ub_new = (ub_new + lo2Kbg * u2b) / (1.0 + lo2Kbg)
+                        vh0 = (b * (ub_new - u2b)[:, None, :] + bd * vh
+                               - 2.0 * bFh * gh)
+                        gh_new = gh + half * (vh0 + vh)
+                        zvh[slot, :, p] = vh0
+                        zgh[slot, :, p] = gh_new
+                        ub_col = ub_new[:, :Nyp] if Nyw > Nyp else ub_new
+                        out_full = jnp.where(lane, ub_col[:, :, None],
+                                             out_full)
+                    outb[slot] = out_full
+                    for c in z_out_copies(t, slot):
+                        c.start()
+
+                # NOTE: halo/pad positions in HBM may hold stale values — the
+                # mirror flips rebuild every halo from interior data at the
+                # start of each step, so stale halos never feed a live node.
                 out_copy(t, slot).start()
+
+            def loop(t, _):
+                # a tile's z-state out-DMA must land before its VMEM slot is
+                # refilled for tile t+1 (started inside loop_body)
+                if P:
+                    @pl.when(t >= 1)
+                    def _():
+                        for c in z_out_copies(t - 1, (t - 1) % 2):
+                            c.wait()
+                loop_body(t)
 
             jax.lax.fori_loop(0, NXT, loop, None, unroll=False)
             # drain the last two output DMAs + the halo/pad row fills
@@ -253,22 +366,59 @@ def build_fused_stencil(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                 out_copy(NXT - 2, (NXT - 2) % 2).wait()
 
             out_copy(NXT - 1, (NXT - 1) % 2).wait()
+            if P:
+                for c in z_out_copies(NXT - 1, (NXT - 1) % 2):
+                    c.wait()
             pre0.wait()
             pre1.wait()
 
         adt = jnp.uint16 if NN == 12 else jnp.uint8
-        pl.run_scoped(
-            body,
+        scratch = dict(
             slab=pltpu.VMEM((2, TX + 2, Nyp, Nzp), dtype),
             u0b=pltpu.VMEM((2, TX, Nyp, Nzp), dtype),
             adjb=pltpu.VMEM((2, TX, Nyp, Nzp), adt),
             outb=pltpu.VMEM((2, TX, Nyp, Nzp), dtype),
+            zvh=pltpu.VMEM((2, TX, max(P, 1), max(MZ, 8),
+                            max(Nyw, 128)), dtype),
+            zgh=pltpu.VMEM((2, TX, max(P, 1), max(MZ, 8),
+                            max(Nyw, 128)), dtype),
+            zsf=pltpu.VMEM((2, TX, max(P, 1), max(Nyw, 128)), dtype),
             sem_in=pltpu.SemaphoreType.DMA((2, 3)),
             sem_out=pltpu.SemaphoreType.DMA((2,)),
             sem_pre=pltpu.SemaphoreType.DMA((2,)),
+            sem_zin=pltpu.SemaphoreType.DMA((2, 3)),
+            sem_zout=pltpu.SemaphoreType.DMA((2, 2)),
         )
+        if not P:  # keep the rigid kernel free of unused z scratch
+            for k in ("zvh", "zgh", "zsf", "sem_zin", "sem_zout"):
+                scratch[k] = pltpu.VMEM((1, 1), dtype) if k.startswith("z") \
+                    else pltpu.SemaphoreType.DMA((1,))
+        pl.run_scoped(body, **scratch)
 
     adt = jnp.uint16 if NN == 12 else jnp.uint8
+
+    if P:
+        @jax.jit
+        def fused(u1, u0, adj, vh, gh, zssaf, zcoefs):
+            return pl.pallas_call(
+                kernel,
+                out_shape=[
+                    jax.ShapeDtypeStruct((Nxp, Nyp, Nzp), dtype),
+                    jax.ShapeDtypeStruct(vh.shape, dtype),
+                    jax.ShapeDtypeStruct(gh.shape, dtype),
+                ],
+                in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 6
+                + [pl.BlockSpec(memory_space=pltpu.VMEM)],
+                out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+                # unew aliases u0; vh/gh update in place
+                input_output_aliases={1: 0, 3: 1, 4: 2},
+                compiler_params=pltpu.CompilerParams(
+                    has_side_effects=True,
+                    vmem_limit_bytes=112 * 1024 * 1024),
+                interpret=interpret,
+            )(u1, u0, adj, vh, gh, zssaf, zcoefs)
+
+        return fused
 
     @jax.jit
     def fused(u1, u0, adj):

@@ -60,3 +60,36 @@ def test_pallas_matches_xla_fcc():
     scale = np.abs(jx.u_out).max()
     err = np.abs(u_out_p - jx.u_out).max() / scale
     assert err < 1e-5, err
+
+
+def _zplane_case(monkeypatch, fcc):
+    """Force the z-plane partition to absorb as much as possible (every
+    (z, mat) group qualifies) and compare the fused in-kernel impedance ODE
+    against the XLA composition."""
+    monkeypatch.setenv("PFFDTD_ZPLANE_MIN_COUNT", "1")
+    monkeypatch.setenv("PFFDTD_ZPLANE_MIN_DENSITY", "0")
+    dims = (2.2, 1.8, 1.5, 0.12) if fcc else (2.5, 2.0, 1.6, 0.1)
+    sim = synthetic_box_sim(*dims[:3], h=dims[3], Nt=30, lossy=True,
+                            fcc=fcc, insig_type="hann10", diff_source=False)
+    jx = JaxEngine(consts=sim.consts, vox=sim.vox, comms=sim.comms,
+                   mats=sim.mats, dtype=np.float32, backend="xla")
+    jx.run(verbose=False)
+
+    from pffdtd_tpu.engine.jax_engine import EngineData
+
+    data = EngineData(sim.consts, sim.vox, sim.comms, sim.mats,
+                      dtype=np.float32, pad_z=128, tile_x=8,
+                      boundary_kernel=True)
+    assert data.bhyb.zplanes is not None and data.bhyb.zplanes.P >= 2
+    u_out_p = _run_pallas_interpret(sim, jx.Nt)
+    scale = np.abs(jx.u_out).max()
+    err = np.abs(u_out_p - jx.u_out).max() / scale
+    assert err < 1e-5, err
+
+
+def test_pallas_zplanes_cart(monkeypatch):
+    _zplane_case(monkeypatch, fcc=False)
+
+
+def test_pallas_zplanes_fcc(monkeypatch):
+    _zplane_case(monkeypatch, fcc=True)
