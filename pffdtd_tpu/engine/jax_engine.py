@@ -198,6 +198,22 @@ class EngineData:
         else:
             self.infac = 1.0
 
+    def attach_planes(self) -> int:
+        """Axis-plane partition of the lossy nodes for the temporally-
+        blocked pair kernel; returns the stray count (0 = fully fused
+        in-kernel, > 0 = the pair kernel cannot run this scene)."""
+        from pffdtd_tpu.engine.pallas_boundary import \
+            partition_boundary_planes
+
+        if not self.Nbl:
+            self.planes = None
+            return 0
+        g = self.grid
+        self.planes = partition_boundary_planes(
+            self.bnl_ixyz, self.ssaf_bnl, self.mat_bnl, self.mc,
+            g.shape, dtype=self.dtype, true_shape=(g.Nx, g.Ny, g.Nz))
+        return self.planes.n_stray
+
     @classmethod
     def from_folder(cls, folder, **kw) -> "EngineData":
         sf = SimFolder(folder)
@@ -328,6 +344,49 @@ def build_step(data: EngineData, energy: bool = False,
     if rigid == "dense":
         consts["adj_grid"] = data.adj_grid
     two = dtype.type(2.0)
+
+    if backend == "pallas_pair":
+        # temporally-blocked fast path: ONE kernel call advances TWO steps
+        # (u0, u1) -> (u2, u3); receiver samples for the intermediate step
+        # come from the u2 output, sources are injected in-kernel
+        from pffdtd_tpu.engine.pallas_pair import build_fused_pair
+
+        assert not energy, "energy accounting uses the xla backend"
+        assert rigid == "dense"
+        jdt = jnp.float32 if dtype == np.float32 else jnp.float64
+        NyNz = g.Nyp * g.Nzp
+        ii = np.asarray(data.in_ixyz)
+        in_pts = np.stack([ii // NyNz, (ii // g.Nzp) % g.Nyp, ii % g.Nzp], 1)
+        planes = getattr(data, "planes", None)
+        fusedp = build_fused_pair(g, sc, data.fcc, dtype=jdt,
+                                  TX=data.tile_x or 8, interpret=interpret,
+                                  in_pts=in_pts, planes=planes)
+        fam_list = []
+        if planes is not None:
+            for fam, pp in (("z", planes.z), ("y", planes.y),
+                            ("x", planes.x)):
+                if pp is not None:
+                    consts[f"{fam}ssaf"] = pp.ssaf.astype(dtype)
+                    consts[f"{fam}coefs"] = pp.coefs.astype(dtype)
+                    fam_list.append(fam)
+
+        def step_pair(carry, sig2, C):
+            # the u^n receiver sample is CARRIED from the previous
+            # iteration's u3 gather: reading u1 here would force XLA to
+            # copy the whole grid to protect the aliased kernel input
+            u0, u1, vh1, gh1, out_prev = carry
+            states = {f: (vh1[f], gh1[f]) for f in fam_list}
+            pconsts = {f: (C[f"{f}ssaf"], C[f"{f}coefs"]) for f in fam_list}
+            u3, u2, ns = fusedp(u1, u0, C["adj_grid"],
+                                sig2.astype(dtype), states, pconsts)
+            out_b = u2.reshape(-1)[C["out_ixyz"]]    # u^{n+1}
+            out_c = u3.reshape(-1)[C["out_ixyz"]]    # u^{n+2}, next iter's a
+            vh0 = {f: ns[f][0] for f in fam_list}
+            gh0 = {f: ns[f][1] for f in fam_list}
+            return ((u2, u3, vh0, gh0, out_c),
+                    jnp.stack([out_prev, out_b]))
+
+        return step_pair, consts
 
     if backend == "pallas":
         from pffdtd_tpu.engine.pallas_stencil import build_fused_stencil
@@ -546,24 +605,68 @@ class JaxEngine:
         if folder is not None:
             sf = SimFolder(folder)
             consts, vox, comms, mats = sf.consts, sf.vox, sf.comms, sf.mats
+        import os as _os
+
+        Nzp = int(-(-vox.Nz // (pad_z or 1)) * (pad_z or 1)) if pad_z \
+            else vox.Nz
+        Nyp = -(-vox.Ny // 8) * 8
+        adjb = 2 if consts.fcc_flag else 1
+        self.data = None
         if backend == "auto":
-            # the fused Pallas kernel is the fast path on real TPUs; energy
-            # accounting and CPU runs use the portable XLA composition
+            # the fused Pallas kernels are the fast path on real TPUs;
+            # energy accounting and CPU runs use the portable XLA
+            # composition.  The temporally-blocked pair kernel needs ALL
+            # boundary work fusable in-kernel: rigid-only scenes qualify
+            # outright; lossy scenes qualify when the axis-plane partition
+            # covers every lossy node (no strays).
             on_tpu = jax.devices()[0].platform not in ("cpu",)
-            backend = ("pallas" if on_tpu and not energy_on
-                       and rigid == "dense" and dtype == np.float32 else "xla")
+            if on_tpu and not energy_on and rigid == "dense" \
+                    and dtype == np.float32:
+                backend = "pallas"
+                pair_try = (len(comms.in_ixyz) <= 64
+                            and _os.environ.get("PFFDTD_PAIR", "1") != "0")
+                if pair_try:
+                    from pffdtd_tpu.engine.pallas_pair import pick_tile_pair
+
+                    tp = tile_x or pick_tile_pair(Nyp, Nzp, adj_bytes=adjb)
+                    data = EngineData(consts, vox, comms, mats, dtype=dtype,
+                                      pad_z=pad_z, fp32_eps=fp32_eps,
+                                      tile_x=tp)
+                    if data.attach_planes() == 0:
+                        backend = "pallas_pair"
+                        if data.planes is not None and tile_x is None:
+                            sb = data.planes.state_bytes_per_row()
+                            tp2 = pick_tile_pair(Nyp, Nzp, adj_bytes=adjb,
+                                                 state_bytes=sb)
+                            if tp2 != tp:
+                                data = EngineData(
+                                    consts, vox, comms, mats, dtype=dtype,
+                                    pad_z=pad_z, fp32_eps=fp32_eps,
+                                    tile_x=tp2)
+                                data.attach_planes()
+                                tp = tp2
+                        tile_x = tp
+                        self.data = data
+            else:
+                backend = "xla"
         if backend == "pallas" and tile_x is None:
             from pffdtd_tpu.engine.pallas_stencil import pick_tile_x
 
-            Nzp = int(-(-vox.Nz // (pad_z or 1)) * (pad_z or 1)) if pad_z \
-                else vox.Nz
-            Nyp = -(-vox.Ny // 8) * 8
             tile_x = pick_tile_x(Nyp, Nzp)
+        elif backend == "pallas_pair" and tile_x is None:
+            from pffdtd_tpu.engine.pallas_pair import pick_tile_pair
+
+            tile_x = pick_tile_pair(Nyp, Nzp, adj_bytes=adjb)
         self.backend = backend
-        self.data = EngineData(consts, vox, comms, mats, dtype=dtype,
-                               pad_z=pad_z, fp32_eps=fp32_eps,
-                               tile_x=tile_x if backend == "pallas" else None,
-                               boundary_kernel=(backend == "pallas"))
+        pal = backend in ("pallas", "pallas_pair")
+        if self.data is None:
+            self.data = EngineData(consts, vox, comms, mats, dtype=dtype,
+                                   pad_z=pad_z, fp32_eps=fp32_eps,
+                                   tile_x=tile_x if pal else None,
+                                   boundary_kernel=(backend == "pallas"))
+            if backend == "pallas_pair":
+                assert self.data.attach_planes() == 0, \
+                    "pair kernel requires full axis-plane boundary coverage"
         self.energy_on = energy_on
         self._folder = folder
         self.Nt = self.data.Nt
@@ -589,10 +692,17 @@ class JaxEngine:
 
             pairs = sigs_T.reshape(n // 2, 2, *sigs_T.shape[1:])
 
-            def body2(c, x2):
-                c, y0 = step(c, x2[0], C)
-                c, y1 = step(c, x2[1], C)
-                return c, jax.tree.map(lambda a, b: jnp.stack((a, b)), y0, y1)
+            if backend == "pallas_pair":
+                # the kernel itself advances two steps per call and returns
+                # the (2, Nr) readout pair
+                def body2(c, x2):
+                    return step(c, x2, C)
+            else:
+                def body2(c, x2):
+                    c, y0 = step(c, x2[0], C)
+                    c, y1 = step(c, x2[1], C)
+                    return c, jax.tree.map(
+                        lambda a, b: jnp.stack((a, b)), y0, y1)
 
             carry, ys = jax.lax.scan(body2, carry, pairs)
             ys = jax.tree.map(lambda a: a.reshape(n, *a.shape[2:]), ys)
@@ -617,6 +727,19 @@ class JaxEngine:
         if self.energy_on:
             return (u0, u1, vh, gh, jnp.zeros(g.shape, d.dtype),
                     jnp.zeros((), d.dtype), jnp.zeros((), d.dtype))
+        if self.backend == "pallas_pair":
+            planes = getattr(d, "planes", None)
+            vhp, ghp = {}, {}
+            if planes is not None:
+                for fam, pp in (("z", planes.z), ("y", planes.y),
+                                ("x", planes.x)):
+                    if pp is not None:
+                        s = pp.state_shape(g.Nxp)
+                        vhp[fam] = jnp.zeros(s, d.dtype)
+                        ghp[fam] = jnp.zeros(s, d.dtype)
+            # u^0 = 0: the carried previous-step receiver sample starts 0
+            out0 = jnp.zeros(len(d.out_ixyz), d.dtype)
+            return (u0, u1, vhp, ghp, out0)
         if self.backend == "pallas":
             # packed boundary-node values of the two previous steps
             # (zeros == the zero initial condition)

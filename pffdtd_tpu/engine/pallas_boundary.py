@@ -650,7 +650,8 @@ class BoundaryZPlanes:
 def partition_boundary_zplanes(bnl_ixyz, ssaf, mat_bnl, mat_coeffs,
                                grid_shape, dtype=np.float32,
                                min_count: int | None = None,
-                               min_density: float | None = None):
+                               min_density: float | None = None,
+                               true_shape=None):
     """Extract (z, material) groups dense enough for the in-kernel plane ODE.
 
     Returns (BoundaryZPlanes | None, selected_mask).  A group qualifies when
@@ -663,6 +664,7 @@ def partition_boundary_zplanes(bnl_ixyz, ssaf, mat_bnl, mat_coeffs,
                                ZPLANE_MIN_DENSITY))
           if min_density is None else min_density)
     Nxp, Nyp, Nzp = grid_shape
+    Nxt, Nyt, _ = true_shape or grid_shape  # density over TRUE extents
     bnl_ixyz = np.asarray(bnl_ixyz)
     iz = (bnl_ixyz % Nzp).astype(np.int32)
     iy = ((bnl_ixyz // Nzp) % Nyp).astype(np.int32)
@@ -676,7 +678,7 @@ def partition_boundary_zplanes(bnl_ixyz, ssaf, mat_bnl, mat_coeffs,
         n = int(m.sum())
         if n < mc:
             continue
-        if n < md * Nxp * Nyp:
+        if n < md * Nxt * Nyt:
             continue
         x0, x1 = int(ix[m].min()), int(ix[m].max()) + 1
         planes.append((int(k // 256), int(k % 256), x0, x1, m))
@@ -711,6 +713,213 @@ def partition_boundary_zplanes(bnl_ixyz, ssaf, mat_bnl, mat_coeffs,
                          coefs=coefs, node_plane=node_plane[sel],
                          node_x=ix[sel], node_y=iy[sel])
     return bz, sel
+
+
+# ------------------------------------------------------- axis-plane families
+# The temporally-blocked pair kernel (pallas_pair.py) fuses ALL lossy
+# boundary work in-kernel, which requires every lossy node to live on an
+# axis-normal plane dense enough to stream as a per-row state block:
+#   z-planes: nodes at one (z, material) - lane-masked extraction (above);
+#   y-planes: nodes at one (y, material) - STATIC sublane extraction;
+#   x-planes: nodes at one (x, material) - the whole (y, z) row gets the
+#             dense ODE with y-chunked state streaming (a full-row state
+#             exceeds VMEM, so chunks round-trip HBM between the stages).
+# Axis-aligned rooms partition completely; nodes left over (sloped/curved
+# surfaces) are "strays" and force the single-step kernel + hybrid pass.
+
+
+@dataclass
+class BoundaryYPlanes:
+    """Per-y-plane boundary data (single material per plane).
+
+    States are x-major - (Nxp, P, MZ, Nzp) - so the stencil kernel fetches
+    one contiguous (TX, P, MZ, Nzp) block per x-row tile."""
+
+    P: int
+    yp: np.ndarray       # (P,) int32 sublane (y) index of each plane
+    ssaf: np.ndarray     # (Nxp, P, Nzp)
+    coefs: np.ndarray    # (P, 5*MZ, Nzp) b|bd|bDh|bFh|beta, lane-replicated
+
+    @property
+    def MZ(self):
+        return self.coefs.shape[1] // 5
+
+    def state_shape(self, Nxp):
+        return (Nxp, self.P, self.MZ, self.ssaf.shape[2])
+
+
+@dataclass
+class BoundaryXPlanes:
+    """Per-x-plane boundary data (single material per plane).
+
+    One x-plane covers the full (y, z) row at its grid row; states are
+    (P, Nyp, MZ, Nzp) and stream through the kernel in CY-row y-chunks."""
+
+    P: int
+    xp: np.ndarray       # (P,) int32 x row of each plane
+    ssaf: np.ndarray     # (P, Nyp, 8, Nzp): sub-row 0 holds the ssaf sheet
+    #                      (the 8-sublane block keeps the y-chunked DMA
+    #                      slices tile-aligned)
+    coefs: np.ndarray    # (P, 5*MZ, Nzp)
+    CY: int = 64         # y-chunk rows per state DMA
+
+    @property
+    def MZ(self):
+        return self.coefs.shape[1] // 5
+
+    def state_shape(self, Nxp):
+        P, Nyp, _, Nzp = self.ssaf.shape
+        return (P, Nyp, self.MZ, Nzp)
+
+
+@dataclass
+class BoundaryPlanes:
+    """Axis-plane partition consumed by the pair kernel."""
+
+    z: "BoundaryZPlanes | None"
+    y: BoundaryYPlanes | None
+    x: BoundaryXPlanes | None
+    n_stray: int         # lossy nodes NOT covered by any plane family
+
+    def state_bytes_per_row(self, itemsize=4):
+        """VMEM scratch bytes per TX row (6 state ring copies + 3 ssaf)."""
+        b = 0
+        if self.z is not None:
+            W = self.z.ssaf.shape[2]
+            b += self.z.P * (6 * self.z.MZ * W + 3 * W) * itemsize
+        if self.y is not None:
+            W = self.y.ssaf.shape[2]
+            b += self.y.P * (6 * self.y.MZ * W + 3 * W) * itemsize
+        return b
+
+
+def _plane_coefs(mat_coeffs, mats, MZ, W, dtype):
+    """(P, 5*MZ, W) b|bd|bDh|bFh|beta rows, lane-replicated."""
+    P = len(mats)
+    out = np.zeros((P, 5 * MZ, W), dtype)
+    pad = np.zeros(MZ - MMb)
+    for p, mat in enumerate(mats):
+        co = np.concatenate([
+            mat_coeffs.b[mat], pad, mat_coeffs.bd[mat], pad,
+            mat_coeffs.bDh[mat], pad, mat_coeffs.bFh[mat], pad,
+            np.full(MMb, mat_coeffs.beta[mat]), pad])
+        out[p] = co[:, None]
+    return out
+
+
+def partition_boundary_yplanes(bnl_ixyz, ssaf, mat_bnl, mat_coeffs,
+                               grid_shape, dtype=np.float32,
+                               min_count: int | None = None,
+                               min_density: float | None = None,
+                               true_shape=None):
+    """Extract (y, material) groups dense enough for the in-kernel ODE.
+
+    Returns (BoundaryYPlanes | None, selected_mask)."""
+    mc = (int(os.environ.get("PFFDTD_ZPLANE_MIN_COUNT", ZPLANE_MIN_COUNT))
+          if min_count is None else min_count)
+    md = (float(os.environ.get("PFFDTD_ZPLANE_MIN_DENSITY",
+                               ZPLANE_MIN_DENSITY))
+          if min_density is None else min_density)
+    Nxp, Nyp, Nzp = grid_shape
+    bnl_ixyz = np.asarray(bnl_ixyz)
+    iz = (bnl_ixyz % Nzp).astype(np.int32)
+    iy = ((bnl_ixyz // Nzp) % Nyp).astype(np.int32)
+    ix = (bnl_ixyz // (Nzp * Nyp)).astype(np.int32)
+
+    sel = np.zeros(bnl_ixyz.size, bool)
+    planes = []
+    Nxt, _, Nzt = true_shape or grid_shape
+    key = iy.astype(np.int64) * 256 + mat_bnl.astype(np.int64)
+    for k in np.unique(key):
+        m = key == k
+        n = int(m.sum())
+        if n < mc or n < md * Nxt * Nzt:
+            continue
+        planes.append((int(k // 256), int(k % 256), m))
+        sel |= m
+    if not planes:
+        return None, sel
+
+    P = len(planes)
+    MZ = -(-MMb // 8) * 8
+    ssaf_pl = np.zeros((Nxp, P, Nzp), dtype)
+    yp = np.zeros(P, np.int32)
+    for p, (y, mat, m) in enumerate(planes):
+        yp[p] = y
+        ssaf_pl[ix[m], p, iz[m]] = ssaf[m]
+    coefs = _plane_coefs(mat_coeffs, [m for _, m, _ in planes], MZ, Nzp,
+                         dtype)
+    return BoundaryYPlanes(P=P, yp=yp, ssaf=ssaf_pl, coefs=coefs), sel
+
+
+def partition_boundary_xplanes(bnl_ixyz, ssaf, mat_bnl, mat_coeffs,
+                               grid_shape, dtype=np.float32,
+                               min_count: int | None = None,
+                               min_density: float | None = None,
+                               true_shape=None):
+    """Extract (x, material) groups dense enough for the in-kernel ODE.
+
+    Returns (BoundaryXPlanes | None, selected_mask)."""
+    mc = (int(os.environ.get("PFFDTD_ZPLANE_MIN_COUNT", ZPLANE_MIN_COUNT))
+          if min_count is None else min_count)
+    md = (float(os.environ.get("PFFDTD_ZPLANE_MIN_DENSITY",
+                               ZPLANE_MIN_DENSITY))
+          if min_density is None else min_density)
+    Nxp, Nyp, Nzp = grid_shape
+    bnl_ixyz = np.asarray(bnl_ixyz)
+    iz = (bnl_ixyz % Nzp).astype(np.int32)
+    iy = ((bnl_ixyz // Nzp) % Nyp).astype(np.int32)
+    ix = (bnl_ixyz // (Nzp * Nyp)).astype(np.int32)
+
+    sel = np.zeros(bnl_ixyz.size, bool)
+    planes = []
+    _, Nyt, Nzt = true_shape or grid_shape
+    key = ix.astype(np.int64) * 256 + mat_bnl.astype(np.int64)
+    for k in np.unique(key):
+        m = key == k
+        n = int(m.sum())
+        if n < mc or n < md * Nyt * Nzt:
+            continue
+        planes.append((int(k // 256), int(k % 256), m))
+        sel |= m
+    if not planes:
+        return None, sel
+
+    P = len(planes)
+    MZ = -(-MMb // 8) * 8
+    ssaf_pl = np.zeros((P, Nyp, 8, Nzp), dtype)
+    xp = np.zeros(P, np.int32)
+    for p, (x, mat, m) in enumerate(planes):
+        xp[p] = x
+        ssaf_pl[p, iy[m], 0, iz[m]] = ssaf[m]
+    coefs = _plane_coefs(mat_coeffs, [m for _, m, _ in planes], MZ, Nzp,
+                         dtype)
+    return BoundaryXPlanes(P=P, xp=xp, ssaf=ssaf_pl, coefs=coefs), sel
+
+
+def partition_boundary_planes(bnl_ixyz, ssaf, mat_bnl, mat_coeffs,
+                              grid_shape, dtype=np.float32,
+                              true_shape=None) -> BoundaryPlanes:
+    """Greedy z -> y -> x axis-plane partition of the lossy boundary nodes.
+
+    Each node joins the first family whose (coordinate, material) group
+    passes the density thresholds; the leftover count is n_stray (> 0
+    forces the engine off the pair kernel onto the hybrid path)."""
+    bnl_ixyz = np.asarray(bnl_ixyz)
+    ssaf = np.asarray(ssaf)
+    mat_bnl = np.asarray(mat_bnl)
+    z, zsel = partition_boundary_zplanes(
+        bnl_ixyz, ssaf, mat_bnl, mat_coeffs, grid_shape, dtype=dtype,
+        true_shape=true_shape)
+    r = ~zsel
+    y, ysel = partition_boundary_yplanes(
+        bnl_ixyz[r], ssaf[r], mat_bnl[r], mat_coeffs, grid_shape, dtype=dtype,
+        true_shape=true_shape)
+    r2 = np.where(r)[0][~ysel]
+    x, xsel = partition_boundary_xplanes(
+        bnl_ixyz[r2], ssaf[r2], mat_bnl[r2], mat_coeffs, grid_shape,
+        dtype=dtype, true_shape=true_shape)
+    return BoundaryPlanes(z=z, y=y, x=x, n_stray=int((~xsel).sum()))
 
 
 # --------------------------------------------------------------- hybrid mode

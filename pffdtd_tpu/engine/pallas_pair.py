@@ -1,0 +1,701 @@
+"""Temporally-blocked Pallas TPU kernel: TWO leapfrog steps per slab visit.
+
+The single-step fused kernel (pallas_stencil.py) is DMA-bound at the measured
+~335 GB/s Pallas aggregate: per step it streams u1 slab + u0 + adj in and
+unew out (~3.5*TX + 2 row-planes per tile).  Temporal blocking halves the
+per-step traffic: one sweep over x-row tiles advances u^{n-1},u^n ->
+u^{n+1},u^{n+2}, reading u1/u0/adj ONCE and writing the two new fields ONCE
+(~4.5*TX + 2 row-planes per tile per TWO steps).
+
+Pipeline (visit t; one extra drain visit at the end):
+
+    stage 1 (step n):   u2 rows of tile t   = f(u1 slab,   u0 block)
+    stage 2 (step n+1): u3 rows of tile t-1 = f(u2 slab,   u1 rows)
+
+Stage 2 trails stage 1 by one tile: its u2 stencil slab needs the first row
+of tile t (computed this visit) and the last row of tile t-2 (still in the
+3-deep u2 VMEM ring).  Everything the intermediate step needs is applied
+IN-KERNEL while the rows are resident: halo mirror flips, the
+adjacency-masked stencil + leapfrog, the Engquist-Majda ABC, the
+frequency-dependent impedance ODE on boundary planes (z- and y-normal
+planes), and source injection for both steps (the reference injects after
+the boundary updates of each step, cpu_engine.h:309-313), so u2 is complete
+before stage 2 consumes it.
+
+DANGER - aliasing: u2 overwrites u0's HBM buffer and u3 overwrites u1's
+(input_output_aliases).  The schedule keeps every read ahead of the aliased
+writes: u2(t) writes rows <= t*TX+TX while visit t+1's u0 prefetch reads
+rows >= (t+1)*TX+1, and u3(t-1) writes rows <= t*TX while visit t+1's u1
+slab prefetch reads rows >= (t+1)*TX.  Receiver readout of u^n happens
+outside the kernel BEFORE the call (XLA orders the gather ahead of the
+aliased kernel); u^{n+1} is read back from the u2 output.
+
+Impedance-plane states (vh/gh) alias in/out too: a visit reads rows
+[t*TX+1, t*TX+TX+1) of state^n (prefetched one visit ahead) and writes the
+same rows back as state^{n+2} only after stage 2 - the row ranges a write
+touches are never re-read later in the sweep.
+
+Reference anchors: leapfrog + rigid update gpu_engine.h:220-348; ABC
+cpu_engine.h:144-172,224-229; boundary ODE cpu_engine.h:362-405; the
+two-stream air/boundary overlap this kernel replaces: gpu_engine.h:964-1056.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pffdtd_tpu.voxelizer.vox import CART_VECTORS, FCC_VECTORS
+
+
+def _roll(x, shift, axis):
+    return pltpu.roll(x, shift % x.shape[axis], axis=axis)
+
+
+def _roll2(x, dy, dz):
+    """result[y,z] = x[y+dy, z+dz] (wrap; wrapped lanes only ever feed halo
+    or padding positions, which the mirror flips rebuild)."""
+    if dy:
+        x = _roll(x, -dy, 1)
+    if dz:
+        x = _roll(x, -dz, 2)
+    return x
+
+
+def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
+                     interpret: bool = False, in_pts=None, planes=None):
+    """Returns fn(u1, u0, adj, sig2, states) -> (u3, u2, new_states).
+
+    grid: GridSpec; sc: SchemeCoeffs.  in_pts: (Nin, 3) STATIC source-node
+    (row, y, z) coordinates in the padded layout; both steps' samples are
+    injected in-kernel from the sig2 (2, Nin) SMEM input.  planes: optional
+    BoundaryPlanes with z/y-normal impedance plane partitions; states is a
+    {"z": (vh, gh), "y": (vh, gh)} pytree matching it ({} when planes is
+    None).  Requires Nxp >= NXT*TX + 2, NXT = ceil((Nx-2)/TX).
+    """
+    Nx, Ny, Nz = grid.Nx, grid.Ny, grid.Nz
+    Nxp, Nyp, Nzp = grid.shape
+    folded = grid.folded
+    VV = (FCC_VECTORS if fcc else CART_VECTORS).astype(np.int64)
+    NN = VV.shape[0]
+
+    NXT = -(-(Nx - 2) // TX)
+    assert Nxp >= NXT * TX + 2, (Nxp, NXT, TX)
+
+    npdt = np.float32 if dtype == jnp.float32 else np.float64
+    a2 = npdt(sc.a2)
+    sl2 = npdt(sc.sl2)
+    two = npdt(2.0)
+    l_ = sc.l
+    lo2 = npdt(sc.lo2)
+    lv = npdt(sc.l)
+    half = npdt(0.5)
+    abc_w = [npdt(1.0 / (1.0 + l_ * q)) for q in range(4)]
+
+    in_pts = np.zeros((0, 3), np.int64) if in_pts is None else \
+        np.asarray(in_pts, np.int64)
+    Nin = int(in_pts.shape[0])
+
+    zpl = planes.z if planes is not None else None
+    ypl = planes.y if planes is not None else None
+    xpl = planes.x if planes is not None else None
+    PZ = zpl.P if zpl is not None else 0
+    PY = ypl.P if ypl is not None else 0
+    PX = xpl.P if xpl is not None else 0
+    zp_lanes = [int(z) for z in zpl.zp] if PZ else []
+    yp_subl = [int(y) for y in ypl.yp] if PY else []
+    xp_rows = [int(x) for x in xpl.xp] if PX else []
+    MZ = zpl.MZ if PZ else (ypl.MZ if PY else (xpl.MZ if PX else 8))
+    Nyw = zpl.ssaf.shape[2] if PZ else 128
+    CY = min(xpl.CY, Nyp) if PX else 8
+    if PX:
+        assert all(1 <= x <= Nx - 2 for x in xp_rows), xp_rows
+
+    adt = jnp.uint16 if NN == 12 else jnp.uint8
+
+    def kernel(*refs):
+        it = iter(refs)
+        sig = next(it)                     # SMEM (2, max(Nin, 1))
+        u1_h = next(it)
+        u0_h = next(it)
+        adj_h = next(it)
+        zvh_h = next(it) if PZ else None   # (Nxp, PZ, MZ, Nyw)
+        zgh_h = next(it) if PZ else None
+        zsf_h = next(it) if PZ else None   # (Nxp, PZ, Nyw)
+        zco = next(it) if PZ else None     # VMEM (PZ, 5*MZ, Nyw)
+        yvh_h = next(it) if PY else None   # (Nxp, PY, MZ, Nzp)
+        ygh_h = next(it) if PY else None
+        ysf_h = next(it) if PY else None   # (Nxp, PY, Nzp)
+        yco = next(it) if PY else None     # VMEM (PY, 5*MZ, Nzp)
+        xvh_h = next(it) if PX else None   # (PX, Nyp, MZ, Nzp)
+        xgh_h = next(it) if PX else None
+        xsf_h = next(it) if PX else None   # (PX, Nyp, 8, Nzp)
+        xco = next(it) if PX else None     # VMEM (PX, 5*MZ, Nzp)
+        u3_h = next(it)
+        u2_h = next(it)
+        zvo_h = next(it) if PZ else None
+        zgo_h = next(it) if PZ else None
+        yvo_h = next(it) if PY else None
+        ygo_h = next(it) if PY else None
+        xvo_h = next(it) if PX else None
+        xgo_h = next(it) if PX else None
+
+        def body(slab, u0b, adjb, u2r, slab2, u3b,
+                 zvi, zgi, zsf, zv1, zg1, zvo, zgo,
+                 yvi, ygi, ysf, yv1, yg1, yvo, ygo,
+                 xv, xg, xsb,
+                 sem_in, sem_o2, sem_o3, sem_pre, sem_zin, sem_zout,
+                 sem_yin, sem_yout, sem_x):
+
+            def z_in(t):
+                rs = t * TX + 1
+                return [
+                    pltpu.make_async_copy(zvh_h.at[pl.ds(rs, TX)],
+                                          zvi.at[t % 2], sem_zin.at[t % 2, 0]),
+                    pltpu.make_async_copy(zgh_h.at[pl.ds(rs, TX)],
+                                          zgi.at[t % 2], sem_zin.at[t % 2, 1]),
+                    pltpu.make_async_copy(zsf_h.at[pl.ds(rs, TX)],
+                                          zsf.at[t % 3], sem_zin.at[t % 2, 2]),
+                ]
+
+            def z_out(tt):
+                rs = tt * TX + 1
+                return [
+                    pltpu.make_async_copy(zvo.at[tt % 2],
+                                          zvo_h.at[pl.ds(rs, TX)],
+                                          sem_zout.at[tt % 2, 0]),
+                    pltpu.make_async_copy(zgo.at[tt % 2],
+                                          zgo_h.at[pl.ds(rs, TX)],
+                                          sem_zout.at[tt % 2, 1]),
+                ]
+
+            def y_in(t):
+                rs = t * TX + 1
+                return [
+                    pltpu.make_async_copy(yvh_h.at[pl.ds(rs, TX)],
+                                          yvi.at[t % 2], sem_yin.at[t % 2, 0]),
+                    pltpu.make_async_copy(ygh_h.at[pl.ds(rs, TX)],
+                                          ygi.at[t % 2], sem_yin.at[t % 2, 1]),
+                    pltpu.make_async_copy(ysf_h.at[pl.ds(rs, TX)],
+                                          ysf.at[t % 3], sem_yin.at[t % 2, 2]),
+                ]
+
+            def y_out(tt):
+                rs = tt * TX + 1
+                return [
+                    pltpu.make_async_copy(yvo.at[tt % 2],
+                                          yvo_h.at[pl.ds(rs, TX)],
+                                          sem_yout.at[tt % 2, 0]),
+                    pltpu.make_async_copy(ygo.at[tt % 2],
+                                          ygo_h.at[pl.ds(rs, TX)],
+                                          sem_yout.at[tt % 2, 1]),
+                ]
+
+            def grid_in(t):
+                rs = t * TX
+                return [
+                    pltpu.make_async_copy(u1_h.at[pl.ds(rs, TX + 2)],
+                                          slab.at[t % 3], sem_in.at[t % 3, 0]),
+                    pltpu.make_async_copy(u0_h.at[pl.ds(rs + 1, TX)],
+                                          u0b.at[t % 2], sem_in.at[t % 3, 1]),
+                    pltpu.make_async_copy(adj_h.at[pl.ds(rs + 1, TX)],
+                                          adjb.at[t % 3], sem_in.at[t % 3, 2]),
+                ]
+
+            def start_in(t):
+                cps = grid_in(t)
+                if PZ:
+                    cps += z_in(t)
+                if PY:
+                    cps += y_in(t)
+                for c in cps:
+                    c.start()
+
+            def wait_in(t):
+                cps = grid_in(t)
+                if PZ:
+                    cps += z_in(t)
+                if PY:
+                    cps += y_in(t)
+                for c in cps:
+                    c.wait()
+
+            def out2_copy(t):
+                return pltpu.make_async_copy(
+                    u2r.at[t % 3], u2_h.at[pl.ds(t * TX + 1, TX)],
+                    sem_o2.at[t % 3])
+
+            def out3_copy(tt):
+                return pltpu.make_async_copy(
+                    u3b.at[tt % 2], u3_h.at[pl.ds(tt * TX + 1, TX)],
+                    sem_o3.at[tt % 2])
+
+            # output rows the tile loop never writes (global halo row 0 and
+            # the x padding tail) are filled from the pre-update fields so
+            # both output buffers are fully defined without reading them
+            tail0 = NXT * TX + 1
+            pre = [
+                pltpu.make_async_copy(u0_h.at[pl.ds(0, 1)],
+                                      u2_h.at[pl.ds(0, 1)], sem_pre.at[0]),
+                pltpu.make_async_copy(u0_h.at[pl.ds(tail0, Nxp - tail0)],
+                                      u2_h.at[pl.ds(tail0, Nxp - tail0)],
+                                      sem_pre.at[1]),
+                pltpu.make_async_copy(u1_h.at[pl.ds(0, 1)],
+                                      u3_h.at[pl.ds(0, 1)], sem_pre.at[2]),
+                pltpu.make_async_copy(u1_h.at[pl.ds(tail0, Nxp - tail0)],
+                                      u3_h.at[pl.ds(tail0, Nxp - tail0)],
+                                      sem_pre.at[3]),
+            ]
+            for c in pre:
+                c.start()
+
+            start_in(0)
+
+            def apply_flips(ref, base_t):
+                """Mirror halo flips on a (TX+2, Nyp, Nzp) slab ref whose
+                local row 0 is global row base_t*TX."""
+                ref[:, :, 0] = ref[:, :, 2]
+                ref[:, :, Nz - 1] = ref[:, :, Nz - 3]
+                ref[:, 0, :] = ref[:, 2, :]
+                if folded:
+                    ref[:, Ny - 1, :] = ref[:, Ny - 2, :]
+                else:
+                    ref[:, Ny - 1, :] = ref[:, Ny - 3, :]
+
+                @pl.when(base_t == 0)
+                def _():
+                    ref[0] = ref[2]
+
+                j = Nx - 1 - base_t * TX
+
+                @pl.when((j >= 2) & (j <= TX + 1))
+                def _():
+                    ref[pl.ds(j, 1)] = ref[pl.ds(j - 2, 1)]
+
+            def stencil(s, adj_slot, prev):
+                """Masked stencil + leapfrog: slab values s (TX+2 rows),
+                adjacency ring slot, prev = the u^{step-1} block values."""
+                a32 = adjb[adj_slot].astype(jnp.int32)
+                u1c = s[1:TX + 1]
+                acc = None
+                K = None
+                for k in range(NN):
+                    dx, dy, dz = VV[k]
+                    nb = _roll2(s[1 + dx:TX + 1 + dx], dy, dz)
+                    bit = ((a32 >> k) & 1).astype(dtype)
+                    t_k = bit * nb
+                    acc = t_k if acc is None else acc + t_k
+                    K = bit if K is None else K + bit
+                return (two - sl2 * K) * u1c - prev + a2 * acc
+
+            def apply_abc(outr, slot, t, prev):
+                """Engquist-Majda ABC slices on an output block ref; prev =
+                the pre-update (u^{step-1}) block values."""
+                w1, w2, w3 = abc_w[1], abc_w[2], abc_w[3]
+                gz1 = jax.lax.broadcasted_iota(jnp.int32, (TX, Nzp), 1)
+                zext = ((gz1 == 1) | (gz1 == Nz - 2)).astype(jnp.int32)
+                gx1 = (jax.lax.broadcasted_iota(jnp.int32, (TX, Nzp), 0)
+                       + t * TX + 1)
+                xext = ((gx1 == 1) | (gx1 == Nx - 2)).astype(jnp.int32)
+                ylo = 2
+                yhi = Ny - 1 if folded else Ny - 2
+                y_faces = (1,) if folded else (1, Ny - 2)
+                for yf in y_faces:
+                    q = zext + xext + 1
+                    qf = q.astype(dtype)
+                    w = jnp.where(q == 1, w1, jnp.where(q == 2, w2, w3))
+                    vals = outr[slot, :, yf, :]
+                    outr[slot, :, yf, :] = (vals + lv * qf
+                                            * prev[:, yf, :]) * w
+                gx2 = (jax.lax.broadcasted_iota(
+                    jnp.int32, (TX, yhi - ylo), 0) + t * TX + 1)
+                xext2 = ((gx2 == 1) | (gx2 == Nx - 2)).astype(jnp.int32)
+                for zf in (1, Nz - 2):
+                    q = xext2 + 1
+                    qf = q.astype(dtype)
+                    w = jnp.where(q == 1, w1, w2)
+                    vals = outr[slot, :, ylo:yhi, zf]
+                    outr[slot, :, ylo:yhi, zf] = (vals + lv * qf
+                                                  * prev[:, ylo:yhi, zf]) * w
+                for r in range(TX):
+                    gx_r = t * TX + 1 + r
+
+                    @pl.when((gx_r == 1) | (gx_r == Nx - 2))
+                    def _(r=r):
+                        vals = outr[slot, r, ylo:yhi, 2:Nz - 2]
+                        outr[slot, r, ylo:yhi, 2:Nz - 2] = (
+                            vals + lv * prev[r, ylo:yhi, 2:Nz - 2]) * w1
+
+            def inject(outr, slot, t, stage):
+                """Add the step's source samples into rows owned by tile t
+                (sources sit in the interior, never on halo rows)."""
+                for i in range(Nin):
+                    gx, gy, gz = (int(v) for v in in_pts[i])
+
+                    @pl.when((gx >= t * TX + 1) & (gx < t * TX + TX + 1))
+                    def _(gx=gx, gy=gy, gz=gz, i=i):
+                        my = jax.lax.broadcasted_iota(
+                            jnp.int32, (1, Nyp, Nzp), 1) == gy
+                        mz = jax.lax.broadcasted_iota(
+                            jnp.int32, (1, Nyp, Nzp), 2) == gz
+                        m = (my & mz).astype(dtype)
+                        r = gx - t * TX - 1
+                        outr[slot, pl.ds(r, 1)] = (
+                            outr[slot, pl.ds(r, 1)] + sig[stage, i] * m)
+
+            def ode(ub, u2b, vh, gh, sa, co):
+                """One impedance-ODE step on dense plane values.
+
+                ub/u2b: (TX, W) node values (post-air) and u^{n-1}; vh/gh:
+                (TX, MZ, W); sa: (TX, W) ssaf (0 = exact identity); co:
+                (5*MZ, W) rows b|bd|bDh|bFh|beta (cpu_engine.h:362-405)."""
+                b = co[0 * MZ:1 * MZ]
+                bd = co[1 * MZ:2 * MZ]
+                bDh = co[2 * MZ:3 * MZ]
+                bFh = co[3 * MZ:4 * MZ]
+                beta = co[4 * MZ]
+                lo2Kbg = lo2 * sa * beta
+                ub_new = ub - lv * sa * jnp.sum(
+                    2.0 * bDh * vh - bFh * gh, axis=-2)
+                ub_new = (ub_new + lo2Kbg * u2b) / (1.0 + lo2Kbg)
+                vh0 = (b * (ub_new - u2b)[..., None, :] + bd * vh
+                       - 2.0 * bFh * gh)
+                gh_new = gh + half * (vh0 + vh)
+                return ub_new, vh0, gh_new
+
+            def zplane_stage(outr, slot, prev, vin, gin, vout, gout, sfslot):
+                """z-normal plane ODE on an output block (lane extraction
+                via iota==z masks; TPUs have no vector gather)."""
+                out_full = outr[slot]
+                sa_all = zsf[sfslot]
+                for p in range(PZ):
+                    zl = zp_lanes[p]
+                    lane = jax.lax.broadcasted_iota(
+                        jnp.int32, (1, 1, Nzp), 2) == zl
+                    lf = lane.astype(dtype)
+                    ub = jnp.sum(out_full * lf, axis=2)     # (TX, Nyp)
+                    u2b = jnp.sum(prev * lf, axis=2)
+                    if Nyw > Nyp:
+                        zpad = jnp.zeros((TX, Nyw - Nyp), dtype)
+                        ub = jnp.concatenate([ub, zpad], axis=1)
+                        u2b = jnp.concatenate([u2b, zpad], axis=1)
+                    ub_new, vh0, gh_new = ode(ub, u2b, vin[:, p], gin[:, p],
+                                              sa_all[:, p], zco[p])
+                    vout[:, p] = vh0
+                    gout[:, p] = gh_new
+                    ub_col = ub_new[:, :Nyp] if Nyw > Nyp else ub_new
+                    out_full = jnp.where(lane, ub_col[:, :, None], out_full)
+                outr[slot] = out_full
+
+            def xplane_pass(outr, oslot, r, p, prev_ref, prev_row, first):
+                """x-normal full-row plane ODE for plane p (STATIC tile
+                ownership: everything here is compile-time constant).
+
+                The full-row state exceeds VMEM, so (CY, MZ, Nzp) y-chunks
+                round-trip HBM with inline waits - the row is visited once
+                per stage per sweep.  Stage 1 (first=True) reads state^n
+                from the input refs and writes state^{n+1} to the aliased
+                output refs; stage 2 advances the outputs in place."""
+                vin_h = xvh_h if first else xvo_h
+                gin_h = xgh_h if first else xgo_h
+                for yc in range(0, Nyp, CY):
+                    cy = min(CY, Nyp - yc)
+                    cin = [
+                        pltpu.make_async_copy(
+                            vin_h.at[p, pl.ds(yc, cy)],
+                            xv.at[pl.ds(0, cy)], sem_x.at[0]),
+                        pltpu.make_async_copy(
+                            gin_h.at[p, pl.ds(yc, cy)],
+                            xg.at[pl.ds(0, cy)], sem_x.at[1]),
+                        pltpu.make_async_copy(
+                            xsf_h.at[p, pl.ds(yc, cy)],
+                            xsb.at[pl.ds(0, cy)], sem_x.at[2]),
+                    ]
+                    for c in cin:
+                        c.start()
+                    for c in cin:
+                        c.wait()
+                    ub = outr[oslot, r, yc:yc + cy, :]       # (cy, Nzp)
+                    u2b = prev_ref[prev_row, yc:yc + cy, :]
+                    ub_new, vh0, gh_new = ode(
+                        ub, u2b, xv[0:cy], xg[0:cy], xsb[0:cy, 0, :],
+                        xco[p])
+                    outr[oslot, r, yc:yc + cy, :] = ub_new
+                    xv[0:cy] = vh0
+                    xg[0:cy] = gh_new
+                    cout = [
+                        pltpu.make_async_copy(
+                            xv.at[pl.ds(0, cy)],
+                            xvo_h.at[p, pl.ds(yc, cy)], sem_x.at[0]),
+                        pltpu.make_async_copy(
+                            xg.at[pl.ds(0, cy)],
+                            xgo_h.at[p, pl.ds(yc, cy)], sem_x.at[1]),
+                    ]
+                    for c in cout:
+                        c.start()
+                    for c in cout:
+                        c.wait()
+
+            def yplane_stage(outr, slot, prev, vin, gin, vout, gout, sfslot):
+                """y-normal plane ODE: STATIC sublane extraction (yp_subl
+                are compile-time constants), no masks at all."""
+                sa_all = ysf[sfslot]
+                for p in range(PY):
+                    yl = yp_subl[p]
+                    ub = outr[slot, :, yl, :]               # (TX, Nzp)
+                    u2b = prev[:, yl, :]
+                    ub_new, vh0, gh_new = ode(ub, u2b, vin[:, p], gin[:, p],
+                                              sa_all[:, p], yco[p])
+                    vout[:, p] = vh0
+                    gout[:, p] = gh_new
+                    outr[slot, :, yl, :] = ub_new
+
+            # ------------------------------------------------- visit loop
+            def loop(t, _):
+                @pl.when(t + 1 < NXT)
+                def _():
+                    start_in(t + 1)
+
+                # ------------- stage 1: u2 rows of tile t (step n)
+                @pl.when(t < NXT)
+                def _():
+                    wait_in(t)
+                    slot = t % 3
+                    apply_flips(slab.at[slot], t)
+                    s = slab[slot]
+                    u0c = u0b[t % 2]
+                    unew = stencil(s, slot, u0c)
+
+                    @pl.when(t >= 3)
+                    def _():
+                        out2_copy(t - 3).wait()
+
+                    u2r[slot] = unew
+                    apply_abc(u2r, slot, t, u0c)
+                    if PZ:
+                        zplane_stage(u2r, slot, u0c,
+                                     zvi.at[t % 2], zgi.at[t % 2],
+                                     zv1.at[t % 2], zg1.at[t % 2], t % 3)
+                    if PY:
+                        yplane_stage(u2r, slot, u0c,
+                                     yvi.at[t % 2], ygi.at[t % 2],
+                                     yv1.at[t % 2], yg1.at[t % 2], t % 3)
+                    if PX:
+                        for p in range(PX):
+                            xl = xp_rows[p]
+                            t1 = (xl - 1) // TX
+                            r = xl - t1 * TX - 1
+
+                            @pl.when(t == t1)
+                            def _(p=p, t1=t1, r=r):
+                                xplane_pass(u2r, t1 % 3, r, p,
+                                            u0b.at[t1 % 2], r, True)
+                    if Nin:
+                        inject(u2r, slot, t, 0)
+                    out2_copy(t).start()
+
+                # ------------- stage 2: u3 rows of tile t-1 (step n+1)
+                @pl.when(t >= 1)
+                def _():
+                    tt = t - 1
+
+                    @pl.when(tt >= 1)
+                    def _():
+                        slab2[0:1] = u2r[pl.ds((tt - 1) % 3, 1), TX - 1]
+
+                    slab2[1:TX + 1] = u2r[pl.ds(tt % 3, 1)][0]
+
+                    @pl.when(t < NXT)
+                    def _():
+                        slab2[TX + 1:TX + 2] = u2r[pl.ds(t % 3, 1), 0]
+
+                    apply_flips(slab2, tt)
+                    s2 = slab2[...]
+                    u1mid = slab[tt % 3, 1:TX + 1]
+                    unew = stencil(s2, tt % 3, u1mid)
+
+                    @pl.when(tt >= 2)
+                    def _():
+                        out3_copy(tt - 2).wait()
+                        if PZ:
+                            for c in z_out(tt - 2):
+                                c.wait()
+                        if PY:
+                            for c in y_out(tt - 2):
+                                c.wait()
+
+                    oslot = tt % 2
+                    u3b[oslot] = unew
+                    apply_abc(u3b, oslot, tt, u1mid)
+                    if PZ:
+                        zplane_stage(u3b, oslot, u1mid,
+                                     zv1.at[tt % 2], zg1.at[tt % 2],
+                                     zvo.at[tt % 2], zgo.at[tt % 2], tt % 3)
+                        for c in z_out(tt):
+                            c.start()
+                    if PY:
+                        yplane_stage(u3b, oslot, u1mid,
+                                     yv1.at[tt % 2], yg1.at[tt % 2],
+                                     yvo.at[tt % 2], ygo.at[tt % 2], tt % 3)
+                        for c in y_out(tt):
+                            c.start()
+                    if PX:
+                        for p in range(PX):
+                            xl = xp_rows[p]
+                            t1 = (xl - 1) // TX
+                            r = xl - t1 * TX - 1
+
+                            @pl.when(tt == t1)
+                            def _(p=p, t1=t1, r=r):
+                                xplane_pass(u3b, t1 % 2, r, p,
+                                            slab.at[t1 % 3], 1 + r, False)
+                    if Nin:
+                        inject(u3b, oslot, tt, 1)
+                    out3_copy(tt).start()
+
+            jax.lax.fori_loop(0, NXT + 1, loop, None, unroll=False)
+
+            # drain: waits not yet issued in-loop
+            for dt in range(max(0, NXT - 3), NXT):
+                out2_copy(dt).wait()
+            for dt in range(max(0, NXT - 2), NXT):
+                out3_copy(dt).wait()
+                if PZ:
+                    for c in z_out(dt):
+                        c.wait()
+                if PY:
+                    for c in y_out(dt):
+                        c.wait()
+            for c in pre:
+                c.wait()
+
+        plane = (Nyp, Nzp)
+        scratch = dict(
+            slab=pltpu.VMEM((3, TX + 2) + plane, dtype),
+            u0b=pltpu.VMEM((2, TX) + plane, dtype),
+            adjb=pltpu.VMEM((3, TX) + plane, adt),
+            u2r=pltpu.VMEM((3, TX) + plane, dtype),
+            slab2=pltpu.VMEM((TX + 2,) + plane, dtype),
+            u3b=pltpu.VMEM((2, TX) + plane, dtype),
+            sem_in=pltpu.SemaphoreType.DMA((3, 3)),
+            sem_o2=pltpu.SemaphoreType.DMA((3,)),
+            sem_o3=pltpu.SemaphoreType.DMA((2,)),
+            sem_pre=pltpu.SemaphoreType.DMA((4,)),
+        )
+        if PZ:
+            zs = (2, TX, PZ, MZ, Nyw)
+            scratch.update(
+                zvi=pltpu.VMEM(zs, dtype), zgi=pltpu.VMEM(zs, dtype),
+                zv1=pltpu.VMEM(zs, dtype), zg1=pltpu.VMEM(zs, dtype),
+                zvo=pltpu.VMEM(zs, dtype), zgo=pltpu.VMEM(zs, dtype),
+                zsf=pltpu.VMEM((3, TX, PZ, Nyw), dtype),
+                sem_zin=pltpu.SemaphoreType.DMA((2, 3)),
+                sem_zout=pltpu.SemaphoreType.DMA((2, 2)))
+        else:
+            for k in ("zvi", "zgi", "zv1", "zg1", "zvo", "zgo", "zsf"):
+                scratch[k] = pltpu.VMEM((1, 1), dtype)
+            scratch["sem_zin"] = pltpu.SemaphoreType.DMA((1,))
+            scratch["sem_zout"] = pltpu.SemaphoreType.DMA((1,))
+        if PY:
+            ys_ = (2, TX, PY, MZ, Nzp)
+            scratch.update(
+                yvi=pltpu.VMEM(ys_, dtype), ygi=pltpu.VMEM(ys_, dtype),
+                yv1=pltpu.VMEM(ys_, dtype), yg1=pltpu.VMEM(ys_, dtype),
+                yvo=pltpu.VMEM(ys_, dtype), ygo=pltpu.VMEM(ys_, dtype),
+                ysf=pltpu.VMEM((3, TX, PY, Nzp), dtype),
+                sem_yin=pltpu.SemaphoreType.DMA((2, 3)),
+                sem_yout=pltpu.SemaphoreType.DMA((2, 2)))
+        else:
+            for k in ("yvi", "ygi", "yv1", "yg1", "yvo", "ygo", "ysf"):
+                scratch[k] = pltpu.VMEM((1, 1), dtype)
+            scratch["sem_yin"] = pltpu.SemaphoreType.DMA((1,))
+            scratch["sem_yout"] = pltpu.SemaphoreType.DMA((1,))
+        if PX:
+            scratch.update(
+                xv=pltpu.VMEM((CY, MZ, Nzp), dtype),
+                xg=pltpu.VMEM((CY, MZ, Nzp), dtype),
+                xsb=pltpu.VMEM((CY, 8, Nzp), dtype),
+                sem_x=pltpu.SemaphoreType.DMA((3,)))
+        else:
+            for k in ("xv", "xg", "xsb"):
+                scratch[k] = pltpu.VMEM((1, 1), dtype)
+            scratch["sem_x"] = pltpu.SemaphoreType.DMA((1,))
+
+        pl.run_scoped(body, **scratch)
+
+    gshape = jax.ShapeDtypeStruct((Nxp, Nyp, Nzp), dtype)
+
+    def fused(u1, u0, adj, sig2, states, pconsts):
+        """states: {fam: (vh, gh)}; pconsts: {fam: (ssaf, coefs)} - the
+        static plane arrays are threaded as jit args, never closed over
+        (closure-captured device arrays inline into the serialized HLO)."""
+        ins = [sig2, u1, u0, adj]
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] \
+            + [pl.BlockSpec(memory_space=pl.ANY)] * 3
+        outs = [gshape, gshape]
+        out_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 2
+        # input indices count sig(0), u1(1), u0(2), adj(3):
+        # u3 output aliases u1, u2 output aliases u0
+        al = {1: 0, 2: 1}
+        idx, oidx = 4, 2
+        fams = []
+        for fam, on in (("z", PZ), ("y", PY), ("x", PX)):
+            if not on:
+                continue
+            vh, gh = states[fam]
+            sf, co = pconsts[fam]
+            ins += [vh, gh, sf, co]
+            in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * 3 \
+                + [pl.BlockSpec(memory_space=pltpu.VMEM)]
+            outs += [jax.ShapeDtypeStruct(vh.shape, dtype),
+                     jax.ShapeDtypeStruct(gh.shape, dtype)]
+            out_specs += [pl.BlockSpec(memory_space=pl.ANY)] * 2
+            al[idx] = oidx
+            al[idx + 1] = oidx + 1
+            fams.append(fam)
+            idx += 4
+            oidx += 2
+        res = pl.pallas_call(
+            kernel,
+            out_shape=outs,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            input_output_aliases=al,
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True,
+                vmem_limit_bytes=127 * 1024 * 1024),
+            interpret=interpret,
+        )(*ins)
+        new_states = {fam: (res[2 + 2 * i], res[3 + 2 * i])
+                      for i, fam in enumerate(fams)}
+        return res[0], res[1], new_states
+
+    return fused
+
+
+def pick_tile_pair(Nyp, Nzp, adj_bytes=2, dtype_bytes=4,
+                   budget_bytes=60 * 1024 * 1024,
+                   state_bytes=0) -> int:
+    """Largest TX whose pair-kernel scratch fits the VMEM budget.
+
+    The budget leaves ~45 MB of the 128 MB VMEM for Mosaic's stack
+    temporaries (the stencil materialises a few block-sized values per
+    expression tree).  state_bytes: per-row bytes of fused plane state
+    scratch (6 copies of vh/gh rings + 3 ssaf slots), added per TX row."""
+    plane = Nyp * Nzp
+    for TX in (16, 12, 8, 6, 4, 3):
+        need = plane * (
+            3 * (TX + 2) * dtype_bytes        # u1 slab ring
+            + 2 * TX * dtype_bytes            # u0 blocks
+            + 3 * TX * adj_bytes              # adj ring
+            + 3 * TX * dtype_bytes            # u2 ring
+            + (TX + 2) * dtype_bytes          # slab2
+            + 2 * TX * dtype_bytes)           # u3 staging
+        need += TX * state_bytes
+        if need <= budget_bytes:
+            return TX
+    return 2

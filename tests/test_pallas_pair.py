@@ -1,0 +1,102 @@
+"""Temporally-blocked pair kernel vs the XLA composition (interpret mode).
+
+The pair kernel advances TWO leapfrog steps per call with in-kernel source
+injection, ABC, and fused impedance-plane ODEs; every path here must match
+the XLA engine bit-for-bit at fp32 (same operation order by construction).
+On real TPU hardware the same comparison runs in the bench harness.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pffdtd_tpu.demo import synthetic_box_sim
+from pffdtd_tpu.engine.jax_engine import EngineData, JaxEngine, build_step
+
+
+def _run_pair_interpret(sim, nt_run, tile_x=8):
+    data = EngineData(sim.consts, sim.vox, sim.comms, sim.mats,
+                      dtype=np.float32, pad_z=128, tile_x=tile_x)
+    data.attach_planes()
+    step, C = build_step(data, backend="pallas_pair", interpret=True)
+    g = data.grid
+    vh, gh = {}, {}
+    planes = getattr(data, "planes", None)
+    if planes is not None:
+        for fam, pp in (("z", planes.z), ("y", planes.y), ("x", planes.x)):
+            if pp is not None:
+                s = pp.state_shape(g.Nxp)
+                vh[fam] = jnp.zeros(s, np.float32)
+                gh[fam] = jnp.zeros(s, np.float32)
+    carry = (jnp.zeros(g.shape, np.float32), jnp.zeros(g.shape, np.float32),
+             vh, gh, jnp.zeros(len(data.out_ixyz), np.float32))
+    nt = nt_run + (nt_run % 2)
+    sigs = (data.in_sigs[:, :nt] / data.infac).T.astype(np.float32)
+    if sigs.shape[0] < nt:
+        sigs = np.pad(sigs, ((0, nt - sigs.shape[0]), (0, 0)))
+    C = jax.tree.map(jnp.asarray, C)
+    pairs = jnp.asarray(sigs).reshape(nt // 2, 2, -1)
+    carry, ys = jax.lax.scan(lambda c, x: step(c, x, C), carry, pairs)
+    u = np.asarray(ys).reshape(nt, -1).T[:, :nt_run]
+    return np.float64(u) * data.infac
+
+
+def _compare(sim, tile_x=8):
+    jx = JaxEngine(consts=sim.consts, vox=sim.vox, comms=sim.comms,
+                   mats=sim.mats, dtype=np.float32, backend="xla")
+    jx.run(verbose=False)
+    u_p = _run_pair_interpret(sim, jx.Nt, tile_x=tile_x)
+    scale = np.abs(jx.u_out).max()
+    err = np.abs(u_p - jx.u_out).max() / scale
+    assert err < 1e-6, err
+
+
+def test_pair_rigid_cart():
+    sim = synthetic_box_sim(2.5, 2.0, 1.6, h=0.1, Nt=40, lossy=False,
+                            insig_type="hann10", diff_source=False)
+    _compare(sim)
+
+
+def test_pair_rigid_fcc():
+    sim = synthetic_box_sim(2.2, 1.8, 1.5, h=0.12, Nt=30, lossy=False,
+                            fcc=True, insig_type="hann10", diff_source=False)
+    _compare(sim, tile_x=4)
+
+
+def test_pair_rigid_odd_tiles():
+    # Nx - 2 not a multiple of TX: exercises the x padding tail fills
+    sim = synthetic_box_sim(2.3, 1.9, 1.5, h=0.09, Nt=20, lossy=False,
+                            insig_type="impulse", diff_source=False)
+    _compare(sim, tile_x=8)
+
+
+def _lossy_case(monkeypatch, fcc, density):
+    """Thresholds tuned so floors go to z-planes, y-walls to y-planes and
+    x-walls to x-planes (the perimeter 'rings' fail the density test in the
+    earlier families), covering ALL lossy nodes: n_stray must be 0."""
+    monkeypatch.setenv("PFFDTD_ZPLANE_MIN_COUNT", "1")
+    monkeypatch.setenv("PFFDTD_ZPLANE_MIN_DENSITY", str(density))
+    dims = (2.2, 1.8, 1.5, 0.12) if fcc else (2.5, 2.0, 1.6, 0.1)
+    sim = synthetic_box_sim(*dims[:3], h=dims[3], Nt=30, lossy=True,
+                            fcc=fcc, insig_type="hann10", diff_source=False)
+    data = EngineData(sim.consts, sim.vox, sim.comms, sim.mats,
+                      dtype=np.float32, pad_z=128, tile_x=4)
+    assert data.attach_planes() == 0
+    pl = data.planes
+    assert pl.z is not None and pl.y is not None and pl.x is not None
+    jx = JaxEngine(consts=sim.consts, vox=sim.vox, comms=sim.comms,
+                   mats=sim.mats, dtype=np.float32, backend="xla")
+    jx.run(verbose=False)
+    u_p = _run_pair_interpret(sim, jx.Nt, tile_x=4)
+    scale = np.abs(jx.u_out).max()
+    err = np.abs(u_p - jx.u_out).max() / scale
+    assert err < 1e-5, err
+
+
+def test_pair_lossy_planes_cart(monkeypatch):
+    _lossy_case(monkeypatch, fcc=False, density=0.3)
+
+
+def test_pair_lossy_planes_fcc(monkeypatch):
+    # FCC parity halves every plane fill relative to the Cartesian case
+    _lossy_case(monkeypatch, fcc=True, density=0.12)
