@@ -345,6 +345,40 @@ def build_step(data: EngineData, energy: bool = False,
         consts["adj_grid"] = data.adj_grid
     two = dtype.type(2.0)
 
+    # XLA's gather/scatter on a grid-sized operand forces full-grid layout
+    # copies on TPU (measured: flat-index readout caps the pair kernel at
+    # ~19 GVPS vs ~103 with per-tap dynamic slices).  Source/receiver taps
+    # are STATIC coordinates, so both fast paths unroll tiny dynamic-slice
+    # reads / at[].add writes instead; the flat forms remain for huge tap
+    # counts and the portable XLA path.
+    MAX_TAPS = 256
+
+    def _pts3(ixyz):
+        ii = np.asarray(ixyz)
+        return [(int(i // (g.Nyp * g.Nzp)), int((i // g.Nzp) % g.Nyp),
+                 int(i % g.Nzp)) for i in ii]
+
+    out_pts = _pts3(data.out_ixyz)
+    in_pts3 = _pts3(data.in_ixyz)
+    taps_ok = len(out_pts) <= MAX_TAPS and len(in_pts3) <= MAX_TAPS
+
+    def read_taps(u):
+        if not taps_ok:
+            return u.reshape(-1)[jnp.asarray(np.asarray(data.out_ixyz))]
+        return jnp.stack([
+            jax.lax.dynamic_slice(u, p, (1, 1, 1))[0, 0, 0]
+            for p in out_pts])
+
+    def add_sources(u, sig_n):
+        if not taps_ok:
+            uf = u.reshape(-1).at[
+                jnp.asarray(np.asarray(data.in_ixyz))].add(
+                    sig_n.astype(dtype))
+            return uf.reshape(g.shape)
+        for i, p in enumerate(in_pts3):
+            u = u.at[p].add(sig_n[i].astype(dtype))
+        return u
+
     if backend == "pallas_pair":
         # temporally-blocked fast path: ONE kernel call advances TWO steps
         # (u0, u1) -> (u2, u3); receiver samples for the intermediate step
@@ -379,8 +413,8 @@ def build_step(data: EngineData, energy: bool = False,
             pconsts = {f: (C[f"{f}ssaf"], C[f"{f}coefs"]) for f in fam_list}
             u3, u2, ns = fusedp(u1, u0, C["adj_grid"],
                                 sig2.astype(dtype), states, pconsts)
-            out_b = u2.reshape(-1)[C["out_ixyz"]]    # u^{n+1}
-            out_c = u3.reshape(-1)[C["out_ixyz"]]    # u^{n+2}, next iter's a
+            out_b = read_taps(u2)    # u^{n+1}
+            out_c = read_taps(u3)    # u^{n+2}, next iteration's out_prev
             vh0 = {f: ns[f][0] for f in fam_list}
             gh0 = {f: ns[f][1] for f in fam_list}
             return ((u2, u3, vh0, gh0, out_c),
@@ -463,10 +497,8 @@ def build_step(data: EngineData, energy: bool = False,
             if zpl is not None:
                 vh0 = {**vh0, "z": vhz}
                 gh_new = {**gh_new, "z": ghz}
-            unew_f = unew.reshape(-1)
-            unew_f = unew_f.at[C["in_ixyz"]].add(sig_n.astype(dtype))
-            unew = unew_f.reshape(g.shape)
-            out_n = u1.reshape(-1)[C["out_ixyz"]]
+            unew = add_sources(unew, sig_n)
+            out_n = read_taps(u1)
             return (u1, unew, vh0, gh_new, u2b_pair), out_n
 
         return step_pallas, consts

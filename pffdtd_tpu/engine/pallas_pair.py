@@ -276,25 +276,51 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                 def _():
                     ref[pl.ds(j, 1)] = ref[pl.ds(j - 2, 1)]
 
-            def stencil(s, adj_slot, prev):
-                """Masked stencil + leapfrog: slab values s (TX+2 rows),
-                adjacency ring slot, prev = the u^{step-1} block values."""
-                a32 = adjb[adj_slot].astype(jnp.int32)
-                u1c = s[1:TX + 1]
-                acc = None
-                K = None
-                for k in range(NN):
-                    dx, dy, dz = VV[k]
-                    nb = _roll2(s[1 + dx:TX + 1 + dx], dy, dz)
-                    bit = ((a32 >> k) & 1).astype(dtype)
-                    t_k = bit * nb
-                    acc = t_k if acc is None else acc + t_k
-                    K = bit if K is None else K + bit
-                return (two - sl2 * K) * u1c - prev + a2 * acc
+            # stencil temporaries are (TX, HY, Nzp) y-chunks, NOT full
+            # blocks: Mosaic keeps several expression temporaries live, and
+            # full-block temps blow the VMEM stack (measured ~54 MB at TX=4
+            # on the 250 Mvox grid)
+            HY = -(-Nyp // 8)
+            HY = -(-HY // 8) * 8
 
-            def apply_abc(outr, slot, t, prev):
-                """Engquist-Majda ABC slices on an output block ref; prev =
-                the pre-update (u^{step-1}) block values."""
+            def stencil_into(write, read_src, read_adj, read_prev):
+                """Masked stencil + leapfrog, y-chunked.
+
+                read_src(xoff, ylo, hy): slab rows [xoff, xoff+TX) x
+                [ylo, ylo+hy) values; read_adj/read_prev(yc, hy); write(yc,
+                hy, vals).  Interior chunks take y shifts as plain slices;
+                when the shifted window leaves [0, Nyp) the chunk is read
+                straight and rolled locally - the wrapped row lands only on
+                the global y halo/pad rows (garbage by convention, rebuilt
+                by the mirror flips before any real use)."""
+                for yc in range(0, Nyp, HY):
+                    hy = min(HY, Nyp - yc)
+                    a32 = read_adj(yc, hy).astype(jnp.int32)
+                    u1c = read_src(1, yc, hy)
+                    acc = None
+                    K = None
+                    for k in range(NN):
+                        dx, dy, dz = VV[k]
+                        if dy == 0 or (yc + dy >= 0
+                                       and yc + hy + dy <= Nyp):
+                            nb = read_src(1 + dx, yc + dy, hy)
+                        else:
+                            nb = _roll(read_src(1 + dx, yc, hy), -dy, 1)
+                        if dz:
+                            nb = _roll(nb, -dz, 2)
+                        bit = ((a32 >> k) & 1).astype(dtype)
+                        t_k = bit * nb
+                        acc = t_k if acc is None else acc + t_k
+                        K = bit if K is None else K + bit
+                    write(yc, hy,
+                          (two - sl2 * K) * u1c - read_prev(yc, hy)
+                          + a2 * acc)
+
+            def apply_abc(outr, slot, t, prev_ref, pslot, pbase):
+                """Engquist-Majda ABC slices on an output block ref.
+
+                prev_ref[pslot, pbase:pbase+TX] rows hold the pre-update
+                (u^{step-1}) field; only thin slices of it are read."""
                 w1, w2, w3 = abc_w[1], abc_w[2], abc_w[3]
                 gz1 = jax.lax.broadcasted_iota(jnp.int32, (TX, Nzp), 1)
                 zext = ((gz1 == 1) | (gz1 == Nz - 2)).astype(jnp.int32)
@@ -309,8 +335,8 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                     qf = q.astype(dtype)
                     w = jnp.where(q == 1, w1, jnp.where(q == 2, w2, w3))
                     vals = outr[slot, :, yf, :]
-                    outr[slot, :, yf, :] = (vals + lv * qf
-                                            * prev[:, yf, :]) * w
+                    pv = prev_ref[pslot, pbase:pbase + TX, yf, :]
+                    outr[slot, :, yf, :] = (vals + lv * qf * pv) * w
                 gx2 = (jax.lax.broadcasted_iota(
                     jnp.int32, (TX, yhi - ylo), 0) + t * TX + 1)
                 xext2 = ((gx2 == 1) | (gx2 == Nx - 2)).astype(jnp.int32)
@@ -319,16 +345,17 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                     qf = q.astype(dtype)
                     w = jnp.where(q == 1, w1, w2)
                     vals = outr[slot, :, ylo:yhi, zf]
-                    outr[slot, :, ylo:yhi, zf] = (vals + lv * qf
-                                                  * prev[:, ylo:yhi, zf]) * w
+                    pv = prev_ref[pslot, pbase:pbase + TX, ylo:yhi, zf]
+                    outr[slot, :, ylo:yhi, zf] = (vals + lv * qf * pv) * w
                 for r in range(TX):
                     gx_r = t * TX + 1 + r
 
                     @pl.when((gx_r == 1) | (gx_r == Nx - 2))
                     def _(r=r):
                         vals = outr[slot, r, ylo:yhi, 2:Nz - 2]
+                        pv = prev_ref[pslot, pbase + r, ylo:yhi, 2:Nz - 2]
                         outr[slot, r, ylo:yhi, 2:Nz - 2] = (
-                            vals + lv * prev[r, ylo:yhi, 2:Nz - 2]) * w1
+                            vals + lv * pv) * w1
 
             def inject(outr, slot, t, stage):
                 """Add the step's source samples into rows owned by tile t
@@ -367,18 +394,55 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                 gh_new = gh + half * (vh0 + vh)
                 return ub_new, vh0, gh_new
 
-            def zplane_stage(outr, slot, prev, vin, gin, vout, gout, sfslot):
-                """z-normal plane ODE on an output block (lane extraction
-                via iota==z masks; TPUs have no vector gather)."""
-                out_full = outr[slot]
-                sa_all = zsf[sfslot]
+            def _dot3(x2d, g):
+                """Exact one-hot matmul: f32 values split into 3 bf16
+                planes (8+8+8 mantissa bits), g one-hot {0,1} (exact in
+                bf16) - each output reconstructs one value, no rounding."""
+                if dtype != jnp.float32:
+                    return jax.lax.dot_general(
+                        x2d, g.astype(dtype), (((1,), (0,)), ((), ())),
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=dtype)
+                hi = x2d.astype(jnp.bfloat16)
+                r1 = x2d - hi.astype(jnp.float32)
+                mid = r1.astype(jnp.bfloat16)
+                lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+                acc = jnp.dot(hi, g, preferred_element_type=jnp.float32)
+                acc = acc + jnp.dot(mid, g,
+                                    preferred_element_type=jnp.float32)
+                return acc + jnp.dot(lo, g,
+                                     preferred_element_type=jnp.float32)
+
+            PZp = 128  # plane axis padded to one lane tile
+
+            def zplane_stage(outr, slot, prev_ref, pslot, pbase,
+                             vin, gin, vout, gout, sfslot):
+                """z-normal plane ODE on an output block.
+
+                Lane extraction for ALL planes at once via one exact
+                3-split MXU matmul against the (Nzp, PZp) one-hot map (a
+                per-plane mask reduce costs ~5 full-block VPU passes per
+                plane; the matmul cost is plane-count independent)."""
+                out2d = outr[slot].reshape(TX * Nyp, Nzp)
+                prev2d = prev_ref[pslot, pbase:pbase + TX].reshape(
+                    TX * Nyp, Nzp)
+                rowz = jax.lax.broadcasted_iota(jnp.int32, (Nzp, PZp), 0)
+                colp = jax.lax.broadcasted_iota(jnp.int32, (Nzp, PZp), 1)
+                G = None
                 for p in range(PZ):
-                    zl = zp_lanes[p]
-                    lane = jax.lax.broadcasted_iota(
-                        jnp.int32, (1, 1, Nzp), 2) == zl
-                    lf = lane.astype(dtype)
-                    ub = jnp.sum(out_full * lf, axis=2)     # (TX, Nyp)
-                    u2b = jnp.sum(prev * lf, axis=2)
+                    m = (rowz == zp_lanes[p]) & (colp == p)
+                    G = m if G is None else (G | m)
+                Gb = G.astype(jnp.bfloat16)
+                ub_all = _dot3(out2d, Gb).reshape(TX, Nyp, PZp)
+                u2_all = _dot3(prev2d, Gb).reshape(TX, Nyp, PZp)
+                sa_all = zsf[sfslot]
+                lanecol = jax.lax.broadcasted_iota(
+                    jnp.int32, (TX, Nyp, PZp), 2)
+                delta = jnp.zeros((TX, Nyp, PZp), dtype)
+                for p in range(PZ):
+                    ub0 = ub_all[:, :, p]
+                    ub = ub0
+                    u2b = u2_all[:, :, p]
                     if Nyw > Nyp:
                         zpad = jnp.zeros((TX, Nyw - Nyp), dtype)
                         ub = jnp.concatenate([ub, zpad], axis=1)
@@ -387,9 +451,18 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                                               sa_all[:, p], zco[p])
                     vout[:, p] = vh0
                     gout[:, p] = gh_new
-                    ub_col = ub_new[:, :Nyp] if Nyw > Nyp else ub_new
-                    out_full = jnp.where(lane, ub_col[:, :, None], out_full)
-                outr[slot] = out_full
+                    d = (ub_new[:, :Nyp] if Nyw > Nyp else ub_new) - ub0
+                    delta = jnp.where(lanecol == p, d[:, :, None], delta)
+                rowp = jax.lax.broadcasted_iota(jnp.int32, (PZp, Nzp), 0)
+                colz = jax.lax.broadcasted_iota(jnp.int32, (PZp, Nzp), 1)
+                GT = None
+                for p in range(PZ):
+                    m = (rowp == p) & (colz == zp_lanes[p])
+                    GT = m if GT is None else (GT | m)
+                # exact deltas: untouched lanes receive + 0.0 bitwise
+                scat = _dot3(delta.reshape(TX * Nyp, PZp),
+                             GT.astype(jnp.bfloat16))
+                outr[slot] = (out2d + scat).reshape(TX, Nyp, Nzp)
 
             def xplane_pass(outr, oslot, r, p, prev_ref, prev_row, first):
                 """x-normal full-row plane ODE for plane p (STATIC tile
@@ -440,14 +513,15 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                     for c in cout:
                         c.wait()
 
-            def yplane_stage(outr, slot, prev, vin, gin, vout, gout, sfslot):
+            def yplane_stage(outr, slot, prev_ref, pslot, pbase,
+                             vin, gin, vout, gout, sfslot):
                 """y-normal plane ODE: STATIC sublane extraction (yp_subl
                 are compile-time constants), no masks at all."""
                 sa_all = ysf[sfslot]
                 for p in range(PY):
                     yl = yp_subl[p]
                     ub = outr[slot, :, yl, :]               # (TX, Nzp)
-                    u2b = prev[:, yl, :]
+                    u2b = prev_ref[pslot, pbase:pbase + TX, yl, :]
                     ub_new, vh0, gh_new = ode(ub, u2b, vin[:, p], gin[:, p],
                                               sa_all[:, p], yco[p])
                     vout[:, p] = vh0
@@ -465,23 +539,33 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                 def _():
                     wait_in(t)
                     slot = t % 3
+                    pslot = t % 2
                     apply_flips(slab.at[slot], t)
-                    s = slab[slot]
-                    u0c = u0b[t % 2]
-                    unew = stencil(s, slot, u0c)
 
                     @pl.when(t >= 3)
                     def _():
                         out2_copy(t - 3).wait()
 
-                    u2r[slot] = unew
-                    apply_abc(u2r, slot, t, u0c)
+                    def w2(yc, hy, v):
+                        u2r[slot, :, yc:yc + hy, :] = v
+
+                    def rs1(xo, ylo, hy):
+                        return slab[slot, xo:xo + TX, ylo:ylo + hy, :]
+
+                    def ra1(yc, hy):
+                        return adjb[slot, :, yc:yc + hy, :]
+
+                    def rp1(yc, hy):
+                        return u0b[pslot, :, yc:yc + hy, :]
+
+                    stencil_into(w2, rs1, ra1, rp1)
+                    apply_abc(u2r, slot, t, u0b, pslot, 0)
                     if PZ:
-                        zplane_stage(u2r, slot, u0c,
+                        zplane_stage(u2r, slot, u0b, pslot, 0,
                                      zvi.at[t % 2], zgi.at[t % 2],
                                      zv1.at[t % 2], zg1.at[t % 2], t % 3)
                     if PY:
-                        yplane_stage(u2r, slot, u0c,
+                        yplane_stage(u2r, slot, u0b, pslot, 0,
                                      yvi.at[t % 2], ygi.at[t % 2],
                                      yv1.at[t % 2], yg1.at[t % 2], t % 3)
                     if PX:
@@ -514,9 +598,6 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                         slab2[TX + 1:TX + 2] = u2r[pl.ds(t % 3, 1), 0]
 
                     apply_flips(slab2, tt)
-                    s2 = slab2[...]
-                    u1mid = slab[tt % 3, 1:TX + 1]
-                    unew = stencil(s2, tt % 3, u1mid)
 
                     @pl.when(tt >= 2)
                     def _():
@@ -529,16 +610,30 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                                 c.wait()
 
                     oslot = tt % 2
-                    u3b[oslot] = unew
-                    apply_abc(u3b, oslot, tt, u1mid)
+                    aslot = tt % 3
+
+                    def w3(yc, hy, v):
+                        u3b[oslot, :, yc:yc + hy, :] = v
+
+                    def rs2(xo, ylo, hy):
+                        return slab2[xo:xo + TX, ylo:ylo + hy, :]
+
+                    def ra2(yc, hy):
+                        return adjb[aslot, :, yc:yc + hy, :]
+
+                    def rp2(yc, hy):
+                        return slab[aslot, 1:TX + 1, yc:yc + hy, :]
+
+                    stencil_into(w3, rs2, ra2, rp2)
+                    apply_abc(u3b, oslot, tt, slab, aslot, 1)
                     if PZ:
-                        zplane_stage(u3b, oslot, u1mid,
+                        zplane_stage(u3b, oslot, slab, aslot, 1,
                                      zv1.at[tt % 2], zg1.at[tt % 2],
                                      zvo.at[tt % 2], zgo.at[tt % 2], tt % 3)
                         for c in z_out(tt):
                             c.start()
                     if PY:
-                        yplane_stage(u3b, oslot, u1mid,
+                        yplane_stage(u3b, oslot, slab, aslot, 1,
                                      yv1.at[tt % 2], yg1.at[tt % 2],
                                      yvo.at[tt % 2], ygo.at[tt % 2], tt % 3)
                         for c in y_out(tt):
@@ -678,7 +773,7 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
 
 
 def pick_tile_pair(Nyp, Nzp, adj_bytes=2, dtype_bytes=4,
-                   budget_bytes=60 * 1024 * 1024,
+                   budget_bytes=80 * 1024 * 1024,
                    state_bytes=0) -> int:
     """Largest TX whose pair-kernel scratch fits the VMEM budget.
 

@@ -245,32 +245,47 @@ class VoxScene:
                 self.print(f"mat {rg.mat_str[i]}: corrected area {err:+.3f}% over")
 
     # ---------------------------------------------------------------- checks
-    def check_adj_full(self):
+    def check_adj_full(self, chunk: int = 1 << 24):
         """Mutual-adjacency check: adj[p,k] == adj[p+v_k, opp(k)] everywhere.
 
-        A stability precondition for the FDTD scheme (energy analysis assumes a
-        symmetric graph).  Vectorised over bit-packed shifted comparisons.
+        A stability precondition for the FDTD scheme (energy analysis assumes
+        a symmetric graph).  SPARSE: non-boundary nodes carry the implicit
+        all-ones mask, so a violation always involves a boundary node - each
+        node's NN partners are resolved by searchsorted into the sorted
+        boundary list (air partner => adjacency must be 1).  O(Nb log Nb)
+        time and O(chunk) memory: no dense grid exists at any point, unlike
+        the reference's full-grid bit-packed memmap (vox_scene.py:496-529),
+        so the check scales to 1e10+ voxel setups in bounded RAM.
         """
         cg = self.cg
         NN = self.NN
-        dtype = np.uint16 if NN == 12 else np.uint8
-        full = np.full((cg.Nx, cg.Ny, cg.Nz), ~dtype(0), dtype)
-        packed = np.zeros(self.bn_ixyz.size, dtype)
-        for k in range(NN):
-            packed |= (self.adj_bn[:, k].astype(dtype) << dtype(k))
-        full.flat[self.bn_ixyz] = packed
-
+        bn = np.asarray(self.bn_ixyz, np.int64)
+        assert np.all(np.diff(bn) > 0), "bn_ixyz must be sorted/unique"
+        adj = np.asarray(self.adj_bn, bool)
         iv = self.VV.astype(np.int64)
-        core = full[1:-1, 1:-1, 1:-1]
-        for k in range(0, NN, 2):
-            dx, dy, dz = iv[k]
-            shifted = full[1 + dx:cg.Nx - 1 + dx,
-                           1 + dy:cg.Ny - 1 + dy,
-                           1 + dz:cg.Nz - 1 + dz]
-            a = (core >> dtype(k)) & 1
-            b = (shifted >> dtype(k + 1)) & 1
-            if not np.array_equal(a, b):
-                raise AssertionError(f"adjacency not mutual along direction {k}")
+        NyNz = cg.Ny * cg.Nz
+        strides = iv @ np.array([NyNz, cg.Nz, 1])
+        for c0 in range(0, bn.size, chunk):
+            p = bn[c0:c0 + chunk]
+            ix = p // NyNz
+            iy = (p // cg.Nz) % cg.Ny
+            iz = p % cg.Nz
+            for k in range(NN):
+                dx, dy, dz = iv[k]
+                inside = ((ix + dx >= 0) & (ix + dx < cg.Nx)
+                          & (iy + dy >= 0) & (iy + dy < cg.Ny)
+                          & (iz + dz >= 0) & (iz + dz < cg.Nz))
+                q = p + strides[k]
+                pos = np.searchsorted(bn, q)
+                found = (pos < bn.size) & (bn[np.minimum(pos, bn.size - 1)]
+                                           == q)
+                a_q = np.where(found,
+                               adj[np.minimum(pos, bn.size - 1), k ^ 1],
+                               True)
+                ok = adj[c0:c0 + chunk, k] == a_q
+                if not np.all(ok | ~inside):
+                    raise AssertionError(
+                        f"adjacency not mutual along direction {k}")
         self.print("check_adj_full: passed")
 
     # ------------------------------------------------------------------ save
