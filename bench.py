@@ -40,10 +40,16 @@ DEF11 = np.array([[d, e, f] for d, e, f in zip(
 def run_synthetic(fcc: bool, lossy: bool, Lx, Ly, Lz, h, nt):
     from pffdtd_tpu.demo import synthetic_box_sim
     from pffdtd_tpu.engine.jax_engine import JaxEngine
+    from pffdtd_tpu.prep import fold_fcc_sim, rotate_sim, sort_sim
 
     t0 = time.perf_counter()
     sim = synthetic_box_sim(Lx, Ly, Lz, h=h, Nt=nt, fcc=fcc, lossy=lossy,
                             insig_type="impulse", DEF=DEF11 if lossy else None)
+    if fcc:
+        # the reference benchmark methodology runs FOLDED FCC (fcc_flag=2,
+        # benchmarks/README.md + gpu_engine.h:677): fold across mid-y and
+        # count the folded grid points
+        sim = sort_sim(fold_fcc_sim(rotate_sim(sim)))
     t1 = time.perf_counter()
     g = sim.vox
     print(f"[{'fcc' if fcc else 'cart'}_{'lossy' if lossy else 'rigid'}] "
@@ -54,7 +60,8 @@ def run_synthetic(fcc: bool, lossy: bool, Lx, Ly, Lz, h, nt):
                     mats=sim.mats, dtype=np.float32)
     # warmup at the SAME trip count (scan length is baked into the compile)
     eng.run(nt=nt, verbose=False)
-    print(f"  compile+first run: {eng.elapsed:.1f}s", file=sys.stderr)
+    print(f"  backend {eng.backend} TX={eng.data.tile_x}, "
+          f"compile+first run: {eng.elapsed:.1f}s", file=sys.stderr)
     eng.run(nt=nt, verbose=False)   # timed
     assert np.isfinite(eng.u_out).all()
     return eng.mvps
@@ -96,9 +103,13 @@ def run_real_mv(nt, fmax=2000.0):
     return eng.mvps
 
 
-def fp32_energy_drift(nsteps=3000):
-    """Relative total-energy drift of a sealed rigid fp32 box over nsteps
-    (leapfrog is symplectic: bounded oscillation, no growth = stable)."""
+def fp32_energy_drift(nsteps=50000):
+    """Relative signal drift of a sealed rigid fp32 box over nsteps -
+    production-RIR-length validation of the (1+EPS) diagonal-shift fp32
+    discipline (fdtd_data.h:186-194).  The leapfrog is symplectic: bounded
+    oscillation is stable; tail growth means the Laplacian lost negative
+    semi-definiteness (the failure mode the reference's RTZ intrinsics
+    guard against, fdtd_common.h:57-68)."""
     from pffdtd_tpu.demo import synthetic_box_sim
     from pffdtd_tpu.engine.jax_engine import JaxEngine
 
@@ -106,12 +117,38 @@ def fp32_energy_drift(nsteps=3000):
                             insig_type="hann10", diff_source=False)
     eng = JaxEngine(consts=sim.consts, vox=sim.vox, comms=sim.comms,
                     mats=sim.mats, dtype=np.float32)
-    eng.run(verbose=False)
+    eng.run(verbose=False, chunk=min(nsteps, 10000))
     u = eng.u_out[0]
+    assert np.isfinite(u).all()
     # RMS of the tail vs the first reflections: growth => instability
     a = np.sqrt(np.mean(u[: nsteps // 4] ** 2))
     b = np.sqrt(np.mean(u[-nsteps // 4:] ** 2))
     return float(b / a)
+
+
+def sharded_pallas_tpu(nt=64):
+    """Mosaic-compile the multi-chip Pallas engine on the real chip (D=1
+    mesh, interpret=False) and cross-check it against JaxEngine: the
+    multi-chip fast path's kernels must not only pass the CPU-interpret
+    suite but actually compile + agree on hardware (VERDICT r1 item 5)."""
+    from pffdtd_tpu.demo import synthetic_box_sim
+    from pffdtd_tpu.engine.jax_engine import JaxEngine
+    from pffdtd_tpu.parallel.sharded_pallas import ShardedPallasEngine
+
+    sim = synthetic_box_sim(12.0, 9.0, 7.0, h=0.03, Nt=nt, lossy=True,
+                            insig_type="impulse", DEF=DEF11,
+                            pad_x_to=8)
+    jx = JaxEngine(consts=sim.consts, vox=sim.vox, comms=sim.comms,
+                   mats=sim.mats, dtype=np.float32)
+    jx.run(nt=nt, verbose=False)
+    sp = ShardedPallasEngine(consts=sim.consts, vox=sim.vox, comms=sim.comms,
+                             mats=sim.mats, dtype=np.float32)
+    sp.run(nt=nt, verbose=False)
+    sp.run(nt=nt, verbose=False)
+    err = float(np.abs(sp.u_out - jx.u_out).max()
+                / max(np.abs(jx.u_out).max(), 1e-30))
+    assert err < 1e-4, f"sharded-pallas TPU mismatch: {err}"
+    return sp.mvps, err
 
 
 def main():
@@ -136,7 +173,13 @@ def main():
         secondary["cart_lossy"] = run_synthetic(False, True, Lx, Ly, Lz,
                                                 h, nt)
         secondary["fcc_rigid"] = run_synthetic(True, False, Lx, Ly, Lz, h, nt)
-        secondary["fp32_tail_to_head_rms"] = fp32_energy_drift()
+        secondary["fp32_tail_to_head_rms_50k"] = fp32_energy_drift()
+        try:
+            mvps_sp, err_sp = sharded_pallas_tpu()
+            secondary["sharded_pallas_tpu_mvps"] = mvps_sp
+            secondary["sharded_pallas_vs_jax_err"] = err_sp
+        except Exception as e:  # noqa: BLE001 - secondary must not kill bench
+            print(f"  sharded_pallas_tpu failed: {e}", file=sys.stderr)
     elif cfg != "fcc_lossy":
         fcc = cfg.startswith("fcc")
         lossy = cfg.endswith("lossy")

@@ -112,7 +112,7 @@ def synthetic_box_sim(Lx=8.0, Ly=6.0, Lz=5.0, h=0.02, duration=None, Nt=None,
     nx_, ny_, nz_ = near_wall(xv, Lx), near_wall(yv, Ly), near_wall(zv, Lz)
     nx_[[0, -1]] = ny_[[0, -1]] = nz_[[0, -1]] = False
 
-    bn_rows, adj_rows = [], []
+    bn_rows, adj_rows, in_rows = [], [], []
     iy_all = np.arange(1, Ny - 1)
     iz_all = np.arange(1, Nz - 1)
     yg, zg = np.meshgrid(iy_all, iz_all, indexing="ij")
@@ -139,15 +139,20 @@ def synthetic_box_sim(Lx=8.0, Ly=6.0, Lz=5.0, h=0.02, duration=None, Nt=None,
             continue
         bn_rows.append(((ix * Ny + iy[is_bn]) * Nz + iz[is_bn]))
         adj_rows.append(adj[is_bn])
+        in_rows.append(inside_p[is_bn])
 
     bn_ixyz = np.concatenate(bn_rows) if bn_rows else np.zeros(0, np.int64)
     adj_bn = np.concatenate(adj_rows) if adj_rows else np.zeros((0, NN), bool)
+    in_bn = np.concatenate(in_rows) if in_rows else np.zeros(0, bool)
     order = np.argsort(bn_ixyz)
-    bn_ixyz, adj_bn = bn_ixyz[order], adj_bn[order]
+    bn_ixyz, adj_bn, in_bn = bn_ixyz[order], adj_bn[order], in_bn[order]
 
     ncut = (~adj_bn).sum(-1).astype(np.float64)
     if lossy:
-        mat_bn = np.zeros(bn_ixyz.size, np.int8)
+        # the reference's sidedness rule: only in-room (right-side) nodes
+        # carry the material; wrong-side/exterior nodes are rigid
+        # (vox_scene.py:392-410) - their region is acoustically decoupled
+        mat_bn = np.where(in_bn, np.int8(0), np.int8(-1))
         mats = mats_from_DEF_list([DEMO_DEF if DEF is None else DEF])
     else:
         mat_bn = np.full(bn_ixyz.size, -1, np.int8)
