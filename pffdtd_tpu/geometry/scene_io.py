@@ -11,7 +11,6 @@ position files the same way.
 
 from __future__ import annotations
 
-import csv
 import json
 from pathlib import Path
 
@@ -22,17 +21,16 @@ def read_positions_csv(path):
     """Read an (N, 3) position list from CSV with delimiter sniffing."""
     path = Path(path)
     text = path.read_text().strip()
-    try:
-        dialect = csv.Sniffer().sniff(text.splitlines()[0], delimiters=",; \t")
-        delim = dialect.delimiter
-    except csv.Error:
-        delim = ","
     rows = []
     for line in text.splitlines():
         line = line.strip()
         if not line or line.startswith("#"):
             continue
-        parts = [p for p in line.replace(delim, " ").split() if p]
+        # normalise every candidate delimiter (",", ";", tab, space) - more
+        # robust than per-file sniffing when rows are inconsistent
+        for d in (",", ";", "\t"):
+            line = line.replace(d, " ")
+        parts = line.split()
         try:
             rows.append([float(p) for p in parts[:3]])
         except ValueError:
