@@ -214,6 +214,27 @@ class EngineData:
             g.shape, dtype=self.dtype, true_shape=(g.Nx, g.Ny, g.Nz))
         return self.planes.n_stray
 
+    def attach_adj_planes(self) -> bool:
+        """Axis-plane cover of ALL non-full-adjacency nodes: when one
+        exists (box-like scenes) the pair kernel drops the per-leg bit
+        unpack AND the adjacency-grid stream entirely (unmasked bulk +
+        static-plane masked fix-ups).  Returns True when enabled."""
+        import os as _os
+
+        from pffdtd_tpu.engine.pallas_pair import partition_adj_planes
+
+        self.adj_planes = None
+        # opt-in (PFFDTD_ADJ_PLANES=1): measured on the v5e, the fix-up
+        # passes cost more than the unmasked bulk saves — the pair kernel
+        # is not bit-unpack-bound (see CLAUDE.md perf notes); the mode is
+        # kept for its HBM savings (no adjacency grid on device) and as
+        # the base for future fix-up fusion work
+        if _os.environ.get("PFFDTD_ADJ_PLANES", "0") != "1":
+            return False
+        self.adj_planes = partition_adj_planes(self.adj_grid, self.grid,
+                                               self.NN)
+        return self.adj_planes is not None
+
     @classmethod
     def from_folder(cls, folder, **kw) -> "EngineData":
         sf = SimFolder(folder)
@@ -392,9 +413,19 @@ def build_step(data: EngineData, energy: bool = False,
         ii = np.asarray(data.in_ixyz)
         in_pts = np.stack([ii // NyNz, (ii // g.Nzp) % g.Nyp, ii % g.Nzp], 1)
         planes = getattr(data, "planes", None)
+        apl = getattr(data, "adj_planes", None)
         fusedp = build_fused_pair(g, sc, data.fcc, dtype=jdt,
                                   TX=data.tile_x or 8, interpret=interpret,
-                                  in_pts=in_pts, planes=planes)
+                                  in_pts=in_pts, planes=planes,
+                                  adj_planes=apl)
+        if apl is not None:
+            # the full adjacency grid is never read in this mode: only the
+            # small per-plane adjacency arrays go to the device
+            consts.pop("adj_grid", None)
+            consts["adjpl"] = {
+                fam: arr for fam, arr in
+                (("z", apl.zadj), ("y", apl.yadj), ("x", apl.xadj))
+                if arr is not None}
         fam_list = []
         if planes is not None:
             for fam, pp in (("z", planes.z), ("y", planes.y),
@@ -411,7 +442,8 @@ def build_step(data: EngineData, energy: bool = False,
             u0, u1, vh1, gh1, out_prev = carry
             states = {f: (vh1[f], gh1[f]) for f in fam_list}
             pconsts = {f: (C[f"{f}ssaf"], C[f"{f}coefs"]) for f in fam_list}
-            u3, u2, ns = fusedp(u1, u0, C["adj_grid"],
+            adj_arg = C["adjpl"] if apl is not None else C["adj_grid"]
+            u3, u2, ns = fusedp(u1, u0, adj_arg,
                                 sig2.astype(dtype), states, pconsts)
             out_b = read_taps(u2)    # u^{n+1}
             out_c = read_taps(u3)    # u^{n+2}, next iteration's out_prev
@@ -666,16 +698,21 @@ class JaxEngine:
                                       tile_x=tp)
                     if data.attach_planes() == 0:
                         backend = "pallas_pair"
-                        if data.planes is not None and tile_x is None:
-                            sb = data.planes.state_bytes_per_row()
-                            tp2 = pick_tile_pair(Nyp, Nzp, adj_bytes=adjb,
-                                                 state_bytes=sb)
+                        nofull = data.attach_adj_planes()
+                        if tile_x is None:
+                            sb = (data.planes.state_bytes_per_row()
+                                  if data.planes is not None else 0)
+                            tp2 = pick_tile_pair(
+                                Nyp, Nzp, adj_bytes=0 if nofull else adjb,
+                                state_bytes=sb)
                             if tp2 != tp:
                                 data = EngineData(
                                     consts, vox, comms, mats, dtype=dtype,
                                     pad_z=pad_z, fp32_eps=fp32_eps,
                                     tile_x=tp2)
                                 data.attach_planes()
+                                if nofull:
+                                    data.attach_adj_planes()
                                 tp = tp2
                         tile_x = tp
                         self.data = data
@@ -699,6 +736,7 @@ class JaxEngine:
             if backend == "pallas_pair":
                 assert self.data.attach_planes() == 0, \
                     "pair kernel requires full axis-plane boundary coverage"
+                self.data.attach_adj_planes()
         self.energy_on = energy_on
         self._folder = folder
         self.Nt = self.data.Nt

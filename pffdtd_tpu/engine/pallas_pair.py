@@ -42,6 +42,9 @@ two-stream air/boundary overlap this kernel replaces: gpu_engine.h:964-1056.
 
 from __future__ import annotations
 
+import os
+from dataclasses import dataclass
+
 import numpy as np
 
 import jax
@@ -52,7 +55,91 @@ from jax.experimental.pallas import tpu as pltpu
 from pffdtd_tpu.voxelizer.vox import CART_VECTORS, FCC_VECTORS
 
 
+@dataclass
+class AdjPlanes:
+    """Axis-plane cover of every node whose adjacency mask is not full.
+
+    When such a cover exists (box-like scenes: walls voxelize to a handful
+    of axis-normal layers) the pair kernel runs the UNMASKED neighbour sum
+    on the bulk — no per-leg bit unpack, no adjacency-grid streaming at all
+    — and recomputes the masked stencil only on these static planes from
+    the small per-plane adjacency arrays below (packed bits as int32)."""
+
+    z_lanes: list[int]           # static z lanes
+    zadj: np.ndarray | None      # (Nxp, PZA, Wy) int32, Wy 128-aligned
+    y_subl: list[int]            # static y sublanes
+    yadj: np.ndarray | None      # (Nxp, PYA, Nzp) int32
+    x_rows: list[int]            # full x rows (true coords, 1..Nx-2)
+    xadj: np.ndarray | None      # (PXA, Nyp, Nzp) int32
+
+    @property
+    def n_planes(self):
+        return len(self.z_lanes) + len(self.y_subl) + len(self.x_rows)
+
+
+def partition_adj_planes(adj_grid, grid, NN: int, max_per_axis: int = 16,
+                         max_total: int | None = None) -> AdjPlanes | None:
+    """Greedy axis-plane set cover of the non-full-adjacency nodes.
+
+    Returns None when no cover within the limits exists (sloped/curved
+    geometry: the masked-stencil path stays in charge).  The greedy pick
+    (largest remaining plane first) is exact for disjoint wall layers and
+    a fine approximation otherwise — the limit only bounds kernel cost."""
+    if max_total is None:
+        max_total = int(os.environ.get("PFFDTD_ADJ_MAX", 2 * max_per_axis))
+    fullv = adj_grid.dtype.type((1 << NN) - 1)
+    nf = np.argwhere(adj_grid != fullv)
+    planes: list[tuple[int, int]] = []   # (axis, coord)
+    per_axis = [0, 0, 0]
+    while len(nf):
+        if len(planes) >= max_total:
+            return None
+        best = None
+        for ax in range(3):
+            if per_axis[ax] >= max_per_axis:
+                continue
+            cnt = np.bincount(nf[:, ax])
+            i = int(np.argmax(cnt))
+            if best is None or cnt[i] > best[2]:
+                best = (ax, i, int(cnt[i]))
+        if best is None or best[2] == 0:
+            return None
+        ax, v, _ = best
+        planes.append((ax, v))
+        per_axis[ax] += 1
+        nf = nf[nf[:, ax] != v]
+
+    Nxp, Nyp, Nzp = grid.shape
+    x_rows = sorted(v for ax, v in planes if ax == 0)
+    y_subl = sorted(v for ax, v in planes if ax == 1)
+    z_lanes = sorted(v for ax, v in planes if ax == 2)
+    if any(not 1 <= x <= grid.Nx - 2 for x in x_rows):
+        return None
+    a32 = np.asarray(adj_grid, np.int32)
+    zadj = yadj = xadj = None
+    if z_lanes:
+        # lane dim 128-aligned, plane (sublane) dim 8-aligned: both are
+        # Mosaic DMA tiling requirements for the sliced ring copies
+        Wy = -(-Nyp // 128) * 128
+        zadj = np.zeros((Nxp, -(-len(z_lanes) // 8) * 8, Wy), np.int32)
+        for p, zl in enumerate(z_lanes):
+            zadj[:, p, :Nyp] = a32[:, :, zl]         # (Nxp, PZA8, Wy)
+    if y_subl:
+        yadj = np.zeros((Nxp, -(-len(y_subl) // 8) * 8, Nzp), np.int32)
+        for p, yl in enumerate(y_subl):
+            yadj[:, p, :] = a32[:, yl, :]            # (Nxp, PYA8, Nzp)
+    if x_rows:
+        xadj = np.ascontiguousarray(a32[x_rows])     # (PXA, Nyp, Nzp)
+    return AdjPlanes(z_lanes=z_lanes, zadj=zadj, y_subl=y_subl, yadj=yadj,
+                     x_rows=x_rows, xadj=xadj)
+
+
+_NO_ROLLS = bool(os.environ.get("PFFDTD_ABLATE", "").count("rolls"))
+
+
 def _roll(x, shift, axis):
+    if _NO_ROLLS:   # perf ablation only - numerically wrong
+        return x
     return pltpu.roll(x, shift % x.shape[axis], axis=axis)
 
 
@@ -67,7 +154,8 @@ def _roll2(x, dy, dz):
 
 
 def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
-                     interpret: bool = False, in_pts=None, planes=None):
+                     interpret: bool = False, in_pts=None, planes=None,
+                     adj_planes: AdjPlanes | None = None):
     """Returns fn(u1, u0, adj, sig2, states) -> (u3, u2, new_states).
 
     grid: GridSpec; sc: SchemeCoeffs.  in_pts: (Nin, 3) STATIC source-node
@@ -76,6 +164,13 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
     BoundaryPlanes with z/y-normal impedance plane partitions; states is a
     {"z": (vh, gh), "y": (vh, gh)} pytree matching it ({} when planes is
     None).  Requires Nxp >= NXT*TX + 2, NXT = ceil((Nx-2)/TX).
+
+    adj_planes: optional AdjPlanes cover of all non-full-adjacency nodes.
+    When given, `adj` in the returned fn is a {"z"/"y"/"x": int32 array}
+    dict of the per-plane adjacency (NOT the grid — the full adjacency
+    grid is neither read nor streamed): the bulk runs the unmasked
+    neighbour sum and the masked stencil is recomputed on the cover planes
+    only.  Bit-identical to the masked path (same accumulation order).
     """
     Nx, Ny, Nz = grid.Nx, grid.Ny, grid.Nz
     Nxp, Nyp, Nzp = grid.shape
@@ -115,6 +210,25 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
     if PX:
         assert all(1 <= x <= Nx - 2 for x in xp_rows), xp_rows
 
+    ap = adj_planes
+    NOFULL = ap is not None
+    za_lanes = [int(z) for z in ap.z_lanes] if NOFULL else []
+    ya_subl = [int(y) for y in ap.y_subl] if NOFULL else []
+    xa_rows = [int(x) for x in ap.x_rows] if NOFULL else []
+    AZ, AY, AX = len(za_lanes), len(ya_subl), len(xa_rows)
+    if NOFULL:
+        assert all(1 <= z <= Nz - 2 for z in za_lanes), za_lanes
+        assert all(1 <= y <= Ny - 2 for y in ya_subl), ya_subl
+        assert all(1 <= x <= Nx - 2 for x in xa_rows), xa_rows
+    cfull = npdt(two - sl2 * npdt(NN))
+    # PFFDTD_ABLATE: comma list of kernel pieces to SKIP (perf debugging
+    # only - results are numerically wrong): abc, ode, flips, rolls, fixup
+    ABLATE = set(filter(None,
+                        os.environ.get("PFFDTD_ABLATE", "").split(",")))
+    # y-chunk size for the x-row fix-up sheets ((Nyp, Nzp) temporaries
+    # would stress the Mosaic VMEM stack at grid scale)
+    CYA = min(64, Nyp)
+
     adt = jnp.uint16 if NN == 12 else jnp.uint8
 
     def kernel(*refs):
@@ -122,7 +236,10 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
         sig = next(it)                     # SMEM (2, max(Nin, 1))
         u1_h = next(it)
         u0_h = next(it)
-        adj_h = next(it)
+        adj_h = None if NOFULL else next(it)
+        zadj_h = next(it) if AZ else None  # (Nxp, PZA, Wy) i32
+        yadj_h = next(it) if AY else None  # (Nxp, PYA, Nzp) i32
+        xadj_h = next(it) if AX else None  # (PXA, Nyp, Nzp) i32
         zvh_h = next(it) if PZ else None   # (Nxp, PZ, MZ, Nyw)
         zgh_h = next(it) if PZ else None
         zsf_h = next(it) if PZ else None   # (Nxp, PZ, Nyw)
@@ -148,8 +265,9 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                  zvi, zgi, zsf, zv1, zg1, zvo, zgo,
                  yvi, ygi, ysf, yv1, yg1, yvo, ygo,
                  xv, xg, xsb,
+                 zadr, yadr, xadb,
                  sem_in, sem_o2, sem_o3, sem_pre, sem_zin, sem_zout,
-                 sem_yin, sem_yout, sem_x):
+                 sem_yin, sem_yout, sem_x, sem_az, sem_ay, sem_ax):
 
             def z_in(t):
                 rs = t * TX + 1
@@ -197,14 +315,28 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
 
             def grid_in(t):
                 rs = t * TX
-                return [
+                cps = [
                     pltpu.make_async_copy(u1_h.at[pl.ds(rs, TX + 2)],
                                           slab.at[t % 3], sem_in.at[t % 3, 0]),
                     pltpu.make_async_copy(u0_h.at[pl.ds(rs + 1, TX)],
                                           u0b.at[t % 2], sem_in.at[t % 3, 1]),
-                    pltpu.make_async_copy(adj_h.at[pl.ds(rs + 1, TX)],
-                                          adjb.at[t % 3], sem_in.at[t % 3, 2]),
                 ]
+                if not NOFULL:
+                    cps.append(
+                        pltpu.make_async_copy(adj_h.at[pl.ds(rs + 1, TX)],
+                                              adjb.at[t % 3],
+                                              sem_in.at[t % 3, 2]))
+                if AZ:
+                    cps.append(
+                        pltpu.make_async_copy(zadj_h.at[pl.ds(rs + 1, TX)],
+                                              zadr.at[t % 3],
+                                              sem_az.at[t % 3]))
+                if AY:
+                    cps.append(
+                        pltpu.make_async_copy(yadj_h.at[pl.ds(rs + 1, TX)],
+                                              yadr.at[t % 3],
+                                              sem_ay.at[t % 3]))
+                return cps
 
             def start_in(t):
                 cps = grid_in(t)
@@ -258,6 +390,8 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
             def apply_flips(ref, base_t):
                 """Mirror halo flips on a (TX+2, Nyp, Nzp) slab ref whose
                 local row 0 is global row base_t*TX."""
+                if "flips" in ABLATE:
+                    return
                 ref[:, :, 0] = ref[:, :, 2]
                 ref[:, :, Nz - 1] = ref[:, :, Nz - 3]
                 ref[:, 0, :] = ref[:, 2, :]
@@ -295,7 +429,8 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                 by the mirror flips before any real use)."""
                 for yc in range(0, Nyp, HY):
                     hy = min(HY, Nyp - yc)
-                    a32 = read_adj(yc, hy).astype(jnp.int32)
+                    a32 = None if NOFULL else \
+                        read_adj(yc, hy).astype(jnp.int32)
                     u1c = read_src(1, yc, hy)
                     acc = None
                     K = None
@@ -308,15 +443,114 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                             nb = _roll(read_src(1 + dx, yc, hy), -dy, 1)
                         if dz:
                             nb = _roll(nb, -dz, 2)
+                        if NOFULL:
+                            # all off-plane nodes are full: pure sum, the
+                            # cover planes get the masked value re-written
+                            # by adj_fixup below
+                            acc = nb if acc is None else acc + nb
+                            continue
                         bit = ((a32 >> k) & 1).astype(dtype)
                         t_k = bit * nb
                         acc = t_k if acc is None else acc + t_k
                         K = bit if K is None else K + bit
+                    diag = cfull if NOFULL else (two - sl2 * K)
                     write(yc, hy,
-                          (two - sl2 * K) * u1c - read_prev(yc, hy)
-                          + a2 * acc)
+                          diag * u1c - read_prev(yc, hy) + a2 * acc)
+
+            def _masked_val(a32, rd_nb, u1c, prev):
+                """Full masked stencil on one plane sheet.
+
+                rd_nb(k, dx, dy, dz) returns the leg-k neighbour sheet with
+                the off-sheet axes resolved statically; in-sheet shifts are
+                applied here via roll (wrapped entries land on halo/pad
+                positions only, garbage by convention).  Same
+                accumulation order as the masked bulk => identical fp."""
+                acc = None
+                K = None
+                for k in range(NN):
+                    dx, dy, dz = VV[k]
+                    nb = rd_nb(k, dx, dy, dz)
+                    bit = ((a32 >> k) & 1).astype(dtype)
+                    t_k = bit * nb
+                    acc = t_k if acc is None else acc + t_k
+                    K = bit if K is None else K + bit
+                return (two - sl2 * K) * u1c - prev + a2 * acc
+
+            def adj_fixup(outr, oslot, rdfull, rd, rdprev, aslot3):
+                """Masked-stencil rewrite of the z/y cover planes.
+
+                rdfull(z): full (TX+2, Nyp) stencil-source sheet at lane z;
+                rd(dx, y, z): source rows [1+dx, 1+dx+TX) at static y/z;
+                rdprev(y, z): matching u^{step-1} rows.  aslot3: the 3-deep
+                adjacency ring slot.
+
+                A lane extraction transposes (y moves from sublanes into
+                lanes) — measured ~2x whole-kernel cost when done per LEG.
+                Each z plane therefore extracts its three neighbour sheets
+                ONCE (cached across planes: wall layers come in adjacent
+                pairs sharing two sheets); per-leg reads are then cheap row
+                slices + lane rolls of the resident sheets."""
+                sheets = {}
+
+                def sheet(z):
+                    if z not in sheets:
+                        sheets[z] = rdfull(z)
+                    return sheets[z]
+
+                for p in range(AZ):
+                    zl = za_lanes[p]
+                    a32 = zadr[aslot3, :, p, :][:, :Nyp]     # (TX, Nyp)
+
+                    def rdz(k, dx, dy, dz, zl=zl):
+                        nb = sheet(zl + dz)[1 + dx:1 + dx + TX, :]
+                        return _roll(nb, -dy, 1) if dy else nb
+
+                    outr[oslot, :, :, zl] = _masked_val(
+                        a32, rdz, sheet(zl)[1:1 + TX, :],
+                        rdprev(slice(None), zl))
+                for p in range(AY):
+                    yl = ya_subl[p]
+                    a32 = yadr[aslot3, :, p, :]              # (TX, Nzp)
+
+                    def rdy(k, dx, dy, dz, yl=yl):
+                        nb = rd(dx, yl + dy, slice(None))
+                        return _roll(nb, -dz, 1) if dz else nb
+
+                    outr[oslot, :, yl, :] = _masked_val(
+                        a32, rdy, rd(0, yl, slice(None)),
+                        rdprev(yl, slice(None)))
+
+            def adj_fixup_xrow(outr, oslot, r, p, rdrow, rdprevrow):
+                """Masked-stencil rewrite of one x cover row (y-chunked:
+                (Nyp, Nzp) sheet temporaries would stress the VMEM stack).
+
+                rdrow(dx, ysl): the (cy, Nzp) y-slice of stencil-source row
+                1+r+dx, sliced at the ref read (materialising the full row
+                per leg would blow the VMEM stack); rdprevrow(ysl):
+                matching u^{step-1} row slice."""
+                cp = pltpu.make_async_copy(xadj_h.at[p], xadb, sem_ax.at[0])
+                cp.start()
+                cp.wait()
+                for yc in range(0, Nyp, CYA):
+                    cy = min(CYA, Nyp - yc)
+                    a32 = xadb[yc:yc + cy, :]                # (cy, Nzp)
+
+                    def rdx(k, dx, dy, dz, yc=yc, cy=cy):
+                        if dy == 0 or (yc + dy >= 0
+                                       and yc + cy + dy <= Nyp):
+                            nb = rdrow(dx, slice(yc + dy, yc + cy + dy))
+                        else:
+                            nb = _roll(rdrow(dx, slice(yc, yc + cy)),
+                                       -dy, 0)
+                        return _roll(nb, -dz, 1) if dz else nb
+
+                    outr[oslot, r, yc:yc + cy, :] = _masked_val(
+                        a32, rdx, rdrow(0, slice(yc, yc + cy)),
+                        rdprevrow(slice(yc, yc + cy)))
 
             def apply_abc(outr, slot, t, prev_ref, pslot, pbase):
+                if "abc" in ABLATE:
+                    return
                 """Engquist-Majda ABC slices on an output block ref.
 
                 prev_ref[pslot, pbase:pbase+TX] rows hold the pre-update
@@ -422,6 +656,8 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                 matmuls (an MXU one-hot extraction costs M*Nzp*128 MACs per
                 plane set, ~3 ms/step at benchmark scale; a static lane
                 slice is a handful of VREG ops per (TX, Nyp) sheet)."""
+                if "ode" in ABLATE:
+                    return
                 sa_all = zsf[sfslot]
                 for p in range(PZ):
                     zl = zp_lanes[p]
@@ -447,6 +683,8 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                 per stage per sweep.  Stage 1 (first=True) reads state^n
                 from the input refs and writes state^{n+1} to the aliased
                 output refs; stage 2 advances the outputs in place."""
+                if "ode" in ABLATE:
+                    return
                 vin_h = xvh_h if first else xvo_h
                 gin_h = xgh_h if first else xgo_h
                 for yc in range(0, Nyp, CY):
@@ -491,6 +729,8 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                              vin, gin, vout, gout, sfslot):
                 """y-normal plane ODE: STATIC sublane extraction (yp_subl
                 are compile-time constants), no masks at all."""
+                if "ode" in ABLATE:
+                    return
                 sa_all = ysf[sfslot]
                 for p in range(PY):
                     yl = yp_subl[p]
@@ -533,6 +773,29 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                         return u0b[pslot, :, yc:yc + hy, :]
 
                     stencil_into(w2, rs1, ra1, rp1)
+                    if NOFULL:
+                        def rdf1(z):
+                            return slab[slot, 0:TX + 2, :, z]
+
+                        def rd1(dx, y, z):
+                            return slab[slot, 1 + dx:1 + dx + TX, y, z]
+
+                        def rp1s(y, z):
+                            return u0b[pslot, :, y, z]
+
+                        adj_fixup(u2r, slot, rdf1, rd1, rp1s, t % 3)
+                        for p in range(AX):
+                            xr = xa_rows[p]
+                            t1 = (xr - 1) // TX
+                            r = xr - t1 * TX - 1
+
+                            @pl.when(t == t1)
+                            def _(p=p, r=r):
+                                adj_fixup_xrow(
+                                    u2r, slot, r, p,
+                                    lambda dx, ysl, r=r:
+                                        slab[slot, 1 + r + dx, ysl, :],
+                                    lambda ysl, r=r: u0b[pslot, r, ysl, :])
                     apply_abc(u2r, slot, t, u0b, pslot, 0)
                     if PZ:
                         zplane_stage(u2r, slot, u0b, pslot, 0,
@@ -599,6 +862,30 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                         return slab[aslot, 1:TX + 1, yc:yc + hy, :]
 
                     stencil_into(w3, rs2, ra2, rp2)
+                    if NOFULL:
+                        def rdf2(z):
+                            return slab2[0:TX + 2, :, z]
+
+                        def rd2(dx, y, z):
+                            return slab2[1 + dx:1 + dx + TX, y, z]
+
+                        def rp2s(y, z):
+                            return slab[aslot, 1:1 + TX, y, z]
+
+                        adj_fixup(u3b, oslot, rdf2, rd2, rp2s, tt % 3)
+                        for p in range(AX):
+                            xr = xa_rows[p]
+                            t1 = (xr - 1) // TX
+                            r = xr - t1 * TX - 1
+
+                            @pl.when(tt == t1)
+                            def _(p=p, r=r):
+                                adj_fixup_xrow(
+                                    u3b, oslot, r, p,
+                                    lambda dx, ysl, r=r:
+                                        slab2[1 + r + dx, ysl, :],
+                                    lambda ysl, r=r:
+                                        slab[aslot, 1 + r, ysl, :])
                     apply_abc(u3b, oslot, tt, slab, aslot, 1)
                     if PZ:
                         zplane_stage(u3b, oslot, slab, aslot, 1,
@@ -646,7 +933,7 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
         scratch = dict(
             slab=pltpu.VMEM((3, TX + 2) + plane, dtype),
             u0b=pltpu.VMEM((2, TX) + plane, dtype),
-            adjb=pltpu.VMEM((3, TX) + plane, adt),
+            adjb=pltpu.VMEM((1, 1) if NOFULL else ((3, TX) + plane), adt),
             u2r=pltpu.VMEM((3, TX) + plane, dtype),
             slab2=pltpu.VMEM((TX + 2,) + plane, dtype),
             u3b=pltpu.VMEM((2, TX) + plane, dtype),
@@ -655,6 +942,16 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
             sem_o3=pltpu.SemaphoreType.DMA((2,)),
             sem_pre=pltpu.SemaphoreType.DMA((4,)),
         )
+        Wy = -(-Nyp // 128) * 128
+        AZ8, AY8 = -(-AZ // 8) * 8, -(-AY // 8) * 8
+        scratch["zadr"] = pltpu.VMEM((3, TX, AZ8, Wy) if AZ else (1, 1),
+                                     jnp.int32)
+        scratch["yadr"] = pltpu.VMEM((3, TX, AY8, Nzp) if AY else (1, 1),
+                                     jnp.int32)
+        scratch["xadb"] = pltpu.VMEM((Nyp, Nzp) if AX else (1, 1), jnp.int32)
+        scratch["sem_az"] = pltpu.SemaphoreType.DMA((3,) if AZ else (1,))
+        scratch["sem_ay"] = pltpu.SemaphoreType.DMA((3,) if AY else (1,))
+        scratch["sem_ax"] = pltpu.SemaphoreType.DMA((1,))
         if PZ:
             zs = (2, TX, PZ, MZ, Nyw)
             scratch.update(
@@ -701,16 +998,24 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
     def fused(u1, u0, adj, sig2, states, pconsts):
         """states: {fam: (vh, gh)}; pconsts: {fam: (ssaf, coefs)} - the
         static plane arrays are threaded as jit args, never closed over
-        (closure-captured device arrays inline into the serialized HLO)."""
-        ins = [sig2, u1, u0, adj]
+        (closure-captured device arrays inline into the serialized HLO).
+        adj: the packed adjacency grid, or (adj_planes mode) the
+        {"z"/"y"/"x": int32 plane-adjacency} dict."""
+        ins = [sig2, u1, u0]
+        if NOFULL:
+            for fam, on in (("z", AZ), ("y", AY), ("x", AX)):
+                if on:
+                    ins.append(adj[fam])
+        else:
+            ins.append(adj)
         in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] \
-            + [pl.BlockSpec(memory_space=pl.ANY)] * 3
+            + [pl.BlockSpec(memory_space=pl.ANY)] * (len(ins) - 1)
         outs = [gshape, gshape]
         out_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 2
-        # input indices count sig(0), u1(1), u0(2), adj(3):
+        # input indices count sig(0), u1(1), u0(2), then adj / plane-adj:
         # u3 output aliases u1, u2 output aliases u0
         al = {1: 0, 2: 1}
-        idx, oidx = 4, 2
+        idx, oidx = len(ins), 2
         fams = []
         for fam, on in (("z", PZ), ("y", PY), ("x", PX)):
             if not on:

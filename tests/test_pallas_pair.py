@@ -14,10 +14,17 @@ from pffdtd_tpu.demo import synthetic_box_sim
 from pffdtd_tpu.engine.jax_engine import EngineData, JaxEngine, build_step
 
 
-def _run_pair_interpret(sim, nt_run, tile_x=8):
+def _run_pair_interpret(sim, nt_run, tile_x=8, adj_planes=False):
     data = EngineData(sim.consts, sim.vox, sim.comms, sim.mats,
                       dtype=np.float32, pad_z=128, tile_x=tile_x)
     data.attach_planes()
+    if adj_planes:
+        from pffdtd_tpu.engine.pallas_pair import partition_adj_planes
+
+        data.adj_planes = partition_adj_planes(data.adj_grid, data.grid,
+                                               data.NN)
+        assert data.adj_planes is not None, "no axis-plane adjacency cover"
+        assert data.adj_planes.n_planes <= 16
     step, C = build_step(data, backend="pallas_pair", interpret=True)
     g = data.grid
     vh, gh = {}, {}
@@ -41,11 +48,12 @@ def _run_pair_interpret(sim, nt_run, tile_x=8):
     return np.float64(u) * data.infac
 
 
-def _compare(sim, tile_x=8):
+def _compare(sim, tile_x=8, adj_planes=False):
     jx = JaxEngine(consts=sim.consts, vox=sim.vox, comms=sim.comms,
                    mats=sim.mats, dtype=np.float32, backend="xla")
     jx.run(verbose=False)
-    u_p = _run_pair_interpret(sim, jx.Nt, tile_x=tile_x)
+    u_p = _run_pair_interpret(sim, jx.Nt, tile_x=tile_x,
+                              adj_planes=adj_planes)
     scale = np.abs(jx.u_out).max()
     err = np.abs(u_p - jx.u_out).max() / scale
     assert err < 1e-6, err
@@ -100,3 +108,76 @@ def test_pair_lossy_planes_cart(monkeypatch):
 def test_pair_lossy_planes_fcc(monkeypatch):
     # FCC parity halves every plane fill relative to the Cartesian case
     _lossy_case(monkeypatch, fcc=True, density=0.12)
+
+
+# ------------------------- adjacency-plane (unmasked bulk) stencil mode
+def test_pair_adj_planes_rigid_cart():
+    sim = synthetic_box_sim(2.5, 2.0, 1.6, h=0.1, Nt=40, lossy=False,
+                            insig_type="hann10", diff_source=False)
+    _compare(sim, adj_planes=True)
+
+
+def test_pair_adj_planes_rigid_fcc():
+    sim = synthetic_box_sim(2.2, 1.8, 1.5, h=0.12, Nt=30, lossy=False,
+                            fcc=True, insig_type="hann10", diff_source=False)
+    _compare(sim, tile_x=4, adj_planes=True)
+
+
+def test_pair_adj_planes_odd_tiles():
+    sim = synthetic_box_sim(2.3, 1.9, 1.5, h=0.09, Nt=20, lossy=False,
+                            insig_type="impulse", diff_source=False)
+    _compare(sim, tile_x=8, adj_planes=True)
+
+
+def _lossy_adj_case(monkeypatch, fcc, density):
+    """Lossy ODE planes + adjacency cover planes active together."""
+    monkeypatch.setenv("PFFDTD_ZPLANE_MIN_COUNT", "1")
+    monkeypatch.setenv("PFFDTD_ZPLANE_MIN_DENSITY", str(density))
+    dims = (2.2, 1.8, 1.5, 0.12) if fcc else (2.5, 2.0, 1.6, 0.1)
+    sim = synthetic_box_sim(*dims[:3], h=dims[3], Nt=30, lossy=True,
+                            fcc=fcc, insig_type="hann10", diff_source=False)
+    jx = JaxEngine(consts=sim.consts, vox=sim.vox, comms=sim.comms,
+                   mats=sim.mats, dtype=np.float32, backend="xla")
+    jx.run(verbose=False)
+    u_p = _run_pair_interpret(sim, jx.Nt, tile_x=4, adj_planes=True)
+    scale = np.abs(jx.u_out).max()
+    err = np.abs(u_p - jx.u_out).max() / scale
+    assert err < 1e-5, err
+
+
+def test_pair_adj_planes_lossy_cart(monkeypatch):
+    _lossy_adj_case(monkeypatch, fcc=False, density=0.3)
+
+
+def test_pair_adj_planes_lossy_fcc(monkeypatch):
+    _lossy_adj_case(monkeypatch, fcc=True, density=0.12)
+
+
+def test_adj_planes_cover_matches_masked_bits():
+    """The cover must contain every non-full node; plane-adjacency arrays
+    must reproduce the grid bits at their planes."""
+    from pffdtd_tpu.engine.pallas_pair import partition_adj_planes
+
+    sim = synthetic_box_sim(2.5, 2.0, 1.6, h=0.1, Nt=4, lossy=True)
+    data = EngineData(sim.consts, sim.vox, sim.comms, sim.mats,
+                      dtype=np.float32, pad_z=128, tile_x=4)
+    ap = partition_adj_planes(data.adj_grid, data.grid, data.NN)
+    assert ap is not None
+    full = (1 << data.NN) - 1
+    covered = np.zeros(data.grid.shape, bool)
+    for zl in ap.z_lanes:
+        covered[:, :, zl] = True
+    for yl in ap.y_subl:
+        covered[:, yl, :] = True
+    for xr in ap.x_rows:
+        covered[xr] = True
+    assert (data.adj_grid[~covered] == full).all()
+    Nyp = data.grid.Nyp
+    for p, zl in enumerate(ap.z_lanes):
+        np.testing.assert_array_equal(ap.zadj[:, p, :Nyp],
+                                      data.adj_grid[:, :, zl])
+    for p, yl in enumerate(ap.y_subl):
+        np.testing.assert_array_equal(ap.yadj[:, p, :],
+                                      data.adj_grid[:, yl, :])
+    for p, xr in enumerate(ap.x_rows):
+        np.testing.assert_array_equal(ap.xadj[p], data.adj_grid[xr])
