@@ -427,33 +427,53 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                 straight and rolled locally - the wrapped row lands only on
                 the global y halo/pad rows (garbage by convention, rebuilt
                 by the mirror flips before any real use)."""
+                # legs grouped by dz: the group SUM is lane-rolled once
+                # (8 rolls -> 2 for FCC; a lane roll costs ~2-3x an add,
+                # measured ~+37% whole-kernel when ablated).  The masked
+                # path pre-rolls the packed adjacency word per group (2
+                # int rolls) so bits mask in neighbour-aligned position;
+                # K keeps the node-aligned word.
+                groups: dict[int, list[int]] = {}
+                for k in range(NN):
+                    groups.setdefault(int(VV[k][2]), []).append(k)
                 for yc in range(0, Nyp, HY):
                     hy = min(HY, Nyp - yc)
                     a32 = None if NOFULL else \
                         read_adj(yc, hy).astype(jnp.int32)
                     u1c = read_src(1, yc, hy)
                     acc = None
-                    K = None
-                    for k in range(NN):
-                        dx, dy, dz = VV[k]
-                        if dy == 0 or (yc + dy >= 0
-                                       and yc + hy + dy <= Nyp):
-                            nb = read_src(1 + dx, yc + dy, hy)
-                        else:
-                            nb = _roll(read_src(1 + dx, yc, hy), -dy, 1)
+                    for dz in sorted(groups):
+                        a32g = None if NOFULL else \
+                            (_roll(a32, dz, 2) if dz else a32)
+                        gacc = None
+                        for k in groups[dz]:
+                            dx, dy, _ = VV[k]
+                            if dy == 0 or (yc + dy >= 0
+                                           and yc + hy + dy <= Nyp):
+                                nb = read_src(1 + dx, yc + dy, hy)
+                            else:
+                                nb = _roll(read_src(1 + dx, yc, hy),
+                                           -dy, 1)
+                            if NOFULL:
+                                # off-plane nodes are all full: pure sum,
+                                # cover planes get the masked value from
+                                # adj_fixup below
+                                t_k = nb
+                            else:
+                                bit = ((a32g >> k) & 1).astype(dtype)
+                                t_k = bit * nb
+                            gacc = t_k if gacc is None else gacc + t_k
                         if dz:
-                            nb = _roll(nb, -dz, 2)
-                        if NOFULL:
-                            # all off-plane nodes are full: pure sum, the
-                            # cover planes get the masked value re-written
-                            # by adj_fixup below
-                            acc = nb if acc is None else acc + nb
-                            continue
-                        bit = ((a32 >> k) & 1).astype(dtype)
-                        t_k = bit * nb
-                        acc = t_k if acc is None else acc + t_k
-                        K = bit if K is None else K + bit
-                    diag = cfull if NOFULL else (two - sl2 * K)
+                            gacc = _roll(gacc, -dz, 2)
+                        acc = gacc if acc is None else acc + gacc
+                    if NOFULL:
+                        diag = cfull
+                    else:
+                        Ki = None
+                        for k in range(NN):
+                            b = (a32 >> k) & 1
+                            Ki = b if Ki is None else Ki + b
+                        diag = two - sl2 * Ki.astype(dtype)
                     write(yc, hy,
                           diag * u1c - read_prev(yc, hy) + a2 * acc)
 
@@ -656,7 +676,7 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                 matmuls (an MXU one-hot extraction costs M*Nzp*128 MACs per
                 plane set, ~3 ms/step at benchmark scale; a static lane
                 slice is a handful of VREG ops per (TX, Nyp) sheet)."""
-                if "ode" in ABLATE:
+                if "ode" in ABLATE or "odez" in ABLATE:
                     return
                 sa_all = zsf[sfslot]
                 for p in range(PZ):
@@ -683,7 +703,7 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                 per stage per sweep.  Stage 1 (first=True) reads state^n
                 from the input refs and writes state^{n+1} to the aliased
                 output refs; stage 2 advances the outputs in place."""
-                if "ode" in ABLATE:
+                if "ode" in ABLATE or "odex" in ABLATE:
                     return
                 vin_h = xvh_h if first else xvo_h
                 gin_h = xgh_h if first else xgo_h
@@ -729,7 +749,7 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                              vin, gin, vout, gout, sfslot):
                 """y-normal plane ODE: STATIC sublane extraction (yp_subl
                 are compile-time constants), no masks at all."""
-                if "ode" in ABLATE:
+                if "ode" in ABLATE or "odey" in ABLATE:
                     return
                 sa_all = ysf[sfslot]
                 for p in range(PY):

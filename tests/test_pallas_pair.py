@@ -56,7 +56,9 @@ def _compare(sim, tile_x=8, adj_planes=False):
                               adj_planes=adj_planes)
     scale = np.abs(jx.u_out).max()
     err = np.abs(u_p - jx.u_out).max() / scale
-    assert err < 1e-6, err
+    # the kernel sums stencil legs grouped by dz (one roll per group);
+    # the XLA reference sums in plain leg order -> fp32 association drift
+    assert err < 1e-5, err
 
 
 def test_pair_rigid_cart():
