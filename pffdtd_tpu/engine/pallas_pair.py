@@ -267,7 +267,8 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                  xv, xg, xsb,
                  zadr, yadr, xadb,
                  sem_in, sem_o2, sem_o3, sem_pre, sem_zin, sem_zout,
-                 sem_yin, sem_yout, sem_x, sem_az, sem_ay, sem_ax):
+                 sem_yin, sem_yout, sem_xi, sem_xo, sem_az, sem_ay,
+                 sem_ax):
 
             def z_in(t):
                 rs = t * TX + 1
@@ -707,43 +708,69 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                     return
                 vin_h = xvh_h if first else xvo_h
                 gin_h = xgh_h if first else xgo_h
-                for yc in range(0, Nyp, CY):
+                nch = -(-Nyp // CY)
+
+                def cin(c, sl):
+                    yc = c * CY
                     cy = min(CY, Nyp - yc)
-                    cin = [
+                    return [
                         pltpu.make_async_copy(
                             vin_h.at[p, pl.ds(yc, cy)],
-                            xv.at[pl.ds(0, cy)], sem_x.at[0]),
+                            xv.at[sl, pl.ds(0, cy)], sem_xi.at[sl, 0]),
                         pltpu.make_async_copy(
                             gin_h.at[p, pl.ds(yc, cy)],
-                            xg.at[pl.ds(0, cy)], sem_x.at[1]),
+                            xg.at[sl, pl.ds(0, cy)], sem_xi.at[sl, 1]),
                         pltpu.make_async_copy(
                             xsf_h.at[p, pl.ds(yc, cy)],
-                            xsb.at[pl.ds(0, cy)], sem_x.at[2]),
+                            xsb.at[sl, pl.ds(0, cy)], sem_xi.at[sl, 2]),
                     ]
-                    for c in cin:
-                        c.start()
-                    for c in cin:
-                        c.wait()
+
+                def cout(c, sl):
+                    yc = c * CY
+                    cy = min(CY, Nyp - yc)
+                    return [
+                        pltpu.make_async_copy(
+                            xv.at[sl, pl.ds(0, cy)],
+                            xvo_h.at[p, pl.ds(yc, cy)], sem_xo.at[sl, 0]),
+                        pltpu.make_async_copy(
+                            xg.at[sl, pl.ds(0, cy)],
+                            xgo_h.at[p, pl.ds(yc, cy)], sem_xo.at[sl, 1]),
+                    ]
+
+                # software-pipelined double buffer: the serial
+                # in-wait/compute/out-wait chain per chunk stalled the
+                # whole tile pipeline (ablation: the x passes alone cost
+                # +56% wall clock); only the first input and the final
+                # drain are exposed now
+                for cp in cin(0, 0):
+                    cp.start()
+                for c in range(nch):
+                    sl = c % 2
+                    if c + 1 < nch:
+                        if c >= 1:
+                            for cp in cout(c - 1, 1 - sl):
+                                cp.wait()
+                        for cp in cin(c + 1, 1 - sl):
+                            cp.start()
+                    for cp in cin(c, sl):
+                        cp.wait()
+                    yc = c * CY
+                    cy = min(CY, Nyp - yc)
                     ub = outr[oslot, r, yc:yc + cy, :]       # (cy, Nzp)
                     u2b = prev_ref[prev_row, yc:yc + cy, :]
                     ub_new, vh0, gh_new = ode(
-                        ub, u2b, xv[0:cy], xg[0:cy], xsb[0:cy, 0, :],
-                        xco[p])
+                        ub, u2b, xv[sl, 0:cy], xg[sl, 0:cy],
+                        xsb[sl, 0:cy, 0, :], xco[p])
                     outr[oslot, r, yc:yc + cy, :] = ub_new
-                    xv[0:cy] = vh0
-                    xg[0:cy] = gh_new
-                    cout = [
-                        pltpu.make_async_copy(
-                            xv.at[pl.ds(0, cy)],
-                            xvo_h.at[p, pl.ds(yc, cy)], sem_x.at[0]),
-                        pltpu.make_async_copy(
-                            xg.at[pl.ds(0, cy)],
-                            xgo_h.at[p, pl.ds(yc, cy)], sem_x.at[1]),
-                    ]
-                    for c in cout:
-                        c.start()
-                    for c in cout:
-                        c.wait()
+                    xv[sl, 0:cy] = vh0
+                    xg[sl, 0:cy] = gh_new
+                    for cp in cout(c, sl):
+                        cp.start()
+                # drain before returning: the aliased state arrays are
+                # re-read by the NEXT stage's pass for this plane
+                for c in range(max(0, nch - 2), nch):
+                    for cp in cout(c, c % 2):
+                        cp.wait()
 
             def yplane_stage(outr, slot, prev_ref, pslot, pbase,
                              vin, gin, vout, gout, sfslot):
@@ -1002,14 +1029,16 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
             scratch["sem_yout"] = pltpu.SemaphoreType.DMA((1,))
         if PX:
             scratch.update(
-                xv=pltpu.VMEM((CY, MZ, Nzp), dtype),
-                xg=pltpu.VMEM((CY, MZ, Nzp), dtype),
-                xsb=pltpu.VMEM((CY, 8, Nzp), dtype),
-                sem_x=pltpu.SemaphoreType.DMA((3,)))
+                xv=pltpu.VMEM((2, CY, MZ, Nzp), dtype),
+                xg=pltpu.VMEM((2, CY, MZ, Nzp), dtype),
+                xsb=pltpu.VMEM((2, CY, 8, Nzp), dtype),
+                sem_xi=pltpu.SemaphoreType.DMA((2, 3)),
+                sem_xo=pltpu.SemaphoreType.DMA((2, 2)))
         else:
             for k in ("xv", "xg", "xsb"):
                 scratch[k] = pltpu.VMEM((1, 1), dtype)
-            scratch["sem_x"] = pltpu.SemaphoreType.DMA((1,))
+            scratch["sem_xi"] = pltpu.SemaphoreType.DMA((1,))
+            scratch["sem_xo"] = pltpu.SemaphoreType.DMA((1,))
 
         pl.run_scoped(body, **scratch)
 
