@@ -173,6 +173,12 @@ def main():
         secondary["cart_lossy"] = run_synthetic(False, True, Lx, Ly, Lz,
                                                 h, nt)
         secondary["fcc_rigid"] = run_synthetic(True, False, Lx, Ly, Lz, h, nt)
+        if os.path.exists("/root/reference/data"):
+            try:  # the real hall (sloped surfaces -> single-step + hybrid
+                # path): tracks the fallback engine's speed on real geometry
+                secondary["mv_fcc_lossy"] = run_real_mv(nt)
+            except Exception as e:  # noqa: BLE001
+                print(f"  mv_fcc_lossy failed: {e}", file=sys.stderr)
         secondary["fp32_tail_to_head_rms_50k"] = fp32_energy_drift()
         try:
             mvps_sp, err_sp = sharded_pallas_tpu()

@@ -298,24 +298,21 @@ def build_fused_stencil(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                             vals + lv * u0c[r, ylo:yhi, 2:Nz - 2]) * w1
 
                 # ---- z-plane impedance ODE on the freshly computed block:
-                # extract each plane's lane column with an exact one-hot
-                # mask, run the branch ODE densely over (TX, MMb, Nyp) (the
-                # ssaf=0 positions update u by the exact identity), and
-                # select the column back in.  u^{n-1} comes from the u0
-                # block still resident in VMEM.
+                # STATIC single-lane slices (zp_lanes are compile-time
+                # constants) extract and write back each plane column — a
+                # handful of VREG ops per (TX, Nyp) sheet, versus the
+                # full-block one-hot mul/reduce/select this replaces (5
+                # full-block passes per plane: ~4 ms/step at Musikverein
+                # scale).  u^{n-1} comes from the u0 block still resident.
                 if P:
                     zv_all = zvh[slot]          # (TX, P, MMb, Nyp)
                     zg_all = zgh[slot]
                     zs_all = zsf[slot]          # (TX, P, Nyp)
-                    out_full = outb[slot]
                     half = npdt(0.5)
                     for p in range(P):
                         zl = zp_lanes[p]
-                        lane = jax.lax.broadcasted_iota(
-                            jnp.int32, (1, 1, Nzp), 2) == zl
-                        lf = lane.astype(dtype)
-                        ub = jnp.sum(out_full * lf, axis=2)     # (TX, Nyp)
-                        u2b = jnp.sum(u0c * lf, axis=2)
+                        ub = outb[slot, :, :, zl]               # (TX, Nyp)
+                        u2b = u0c[:, :, zl]
                         if Nyw > Nyp:
                             zpad = jnp.zeros((TX, Nyw - Nyp), dtype)
                             ub = jnp.concatenate([ub, zpad], axis=1)
@@ -337,10 +334,8 @@ def build_fused_stencil(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                         gh_new = gh + half * (vh0 + vh)
                         zvh[slot, :, p] = vh0
                         zgh[slot, :, p] = gh_new
-                        ub_col = ub_new[:, :Nyp] if Nyw > Nyp else ub_new
-                        out_full = jnp.where(lane, ub_col[:, :, None],
-                                             out_full)
-                    outb[slot] = out_full
+                        outb[slot, :, :, zl] = (ub_new[:, :Nyp]
+                                                if Nyw > Nyp else ub_new)
                     for c in z_out_copies(t, slot):
                         c.start()
 
