@@ -155,7 +155,8 @@ def _roll2(x, dy, dz):
 
 def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                      interpret: bool = False, in_pts=None, planes=None,
-                     adj_planes: AdjPlanes | None = None):
+                     adj_planes: AdjPlanes | None = None,
+                     shard: tuple[int, int] | None = None):
     """Returns fn(u1, u0, adj, sig2, states) -> (u3, u2, new_states).
 
     grid: GridSpec; sc: SchemeCoeffs.  in_pts: (Nin, 3) STATIC source-node
@@ -171,10 +172,25 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
     grid is neither read nor streamed): the bulk runs the unmasked
     neighbour sum and the masked stencil is recomputed on the cover planes
     only.  Bit-identical to the masked path (same accumulation order).
+
+    shard: optional (S, Nx_global) enables the x-slab SPMD variant: grid
+    holds the LOCAL extents with TWO ghost rows per side (local interior
+    rows 1..S+2 overlap-compute the neighbour-edge u2 so stage 2 needs no
+    mid-pair exchange; the engine ppermutes two u1 planes per side per
+    call).  The returned fn then takes scal (3,) i32 SMEM =
+    [x0, is_first, is_last] (global row of local row i is i + x0) and
+    in_pts is read at runtime from an SMEM (3, Nin) per-shard LOCAL
+    coordinate array (out-of-range rows simply never match a tile).
+    x-normal lossy planes are unsupported sharded (static tile ownership
+    breaks SPMD) — the caller must rotate them away or fall back.
     """
     Nx, Ny, Nz = grid.Nx, grid.Ny, grid.Nz
     Nxp, Nyp, Nzp = grid.shape
     folded = grid.folded
+    SHARDED = shard is not None
+    S_sh, NXG = shard if SHARDED else (Nx - 2, Nx)
+    if SHARDED:
+        assert Nx == S_sh + 4, (Nx, S_sh)
     VV = (FCC_VECTORS if fcc else CART_VECTORS).astype(np.int64)
     NN = VV.shape[0]
 
@@ -208,7 +224,10 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
     Nyw = zpl.ssaf.shape[2] if PZ else 128
     CY = min(xpl.CY, Nyp) if PX else 8
     if PX:
+        assert not SHARDED, "x-plane lossy fusion is single-device only"
         assert all(1 <= x <= Nx - 2 for x in xp_rows), xp_rows
+    if SHARDED:
+        assert adj_planes is None, "adj-planes mode is single-device only"
 
     ap = adj_planes
     NOFULL = ap is not None
@@ -234,6 +253,8 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
     def kernel(*refs):
         it = iter(refs)
         sig = next(it)                     # SMEM (2, max(Nin, 1))
+        scal = next(it) if SHARDED else None   # SMEM (3,) i32
+        iptr = next(it) if SHARDED else None   # SMEM (3, max(Nin, 1)) i32
         u1_h = next(it)
         u0_h = next(it)
         adj_h = None if NOFULL else next(it)
@@ -401,15 +422,33 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                 else:
                     ref[:, Ny - 1, :] = ref[:, Ny - 3, :]
 
-                @pl.when(base_t == 0)
-                def _():
-                    ref[0] = ref[2]
+                if SHARDED:
+                    # the global halo rows sit ONE row in (2-ghost layout):
+                    # low mirror at local row 1 on the first shard, high at
+                    # local row S+2 on the last; interior shard edges are
+                    # real ppermuted ghost data and must NOT be mirrored
+                    isf = scal[1] == 1
+                    isl = scal[2] == 1
 
-                j = Nx - 1 - base_t * TX
+                    @pl.when(isf & (base_t == 0))
+                    def _():
+                        ref[1] = ref[3]
 
-                @pl.when((j >= 2) & (j <= TX + 1))
-                def _():
-                    ref[pl.ds(j, 1)] = ref[pl.ds(j - 2, 1)]
+                    jh = (S_sh + 2) - base_t * TX
+
+                    @pl.when(isl & (jh >= 2) & (jh <= TX + 1))
+                    def _():
+                        ref[pl.ds(jh, 1)] = ref[pl.ds(jh - 2, 1)]
+                else:
+                    @pl.when(base_t == 0)
+                    def _():
+                        ref[0] = ref[2]
+
+                    j = Nx - 1 - base_t * TX
+
+                    @pl.when((j >= 2) & (j <= TX + 1))
+                    def _():
+                        ref[pl.ds(j, 1)] = ref[pl.ds(j - 2, 1)]
 
             # stencil temporaries are (TX, HY, Nzp) y-chunks, NOT full
             # blocks: Mosaic keeps several expression temporaries live, and
@@ -577,11 +616,12 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                 prev_ref[pslot, pbase:pbase+TX] rows hold the pre-update
                 (u^{step-1}) field; only thin slices of it are read."""
                 w1, w2, w3 = abc_w[1], abc_w[2], abc_w[3]
+                x0v = scal[0] if SHARDED else 0   # global = local + x0
                 gz1 = jax.lax.broadcasted_iota(jnp.int32, (TX, Nzp), 1)
                 zext = ((gz1 == 1) | (gz1 == Nz - 2)).astype(jnp.int32)
                 gx1 = (jax.lax.broadcasted_iota(jnp.int32, (TX, Nzp), 0)
-                       + t * TX + 1)
-                xext = ((gx1 == 1) | (gx1 == Nx - 2)).astype(jnp.int32)
+                       + t * TX + 1 + x0v)
+                xext = ((gx1 == 1) | (gx1 == NXG - 2)).astype(jnp.int32)
                 ylo = 2
                 yhi = Ny - 1 if folded else Ny - 2
                 y_faces = (1,) if folded else (1, Ny - 2)
@@ -593,8 +633,8 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                     pv = prev_ref[pslot, pbase:pbase + TX, yf, :]
                     outr[slot, :, yf, :] = (vals + lv * qf * pv) * w
                 gx2 = (jax.lax.broadcasted_iota(
-                    jnp.int32, (TX, yhi - ylo), 0) + t * TX + 1)
-                xext2 = ((gx2 == 1) | (gx2 == Nx - 2)).astype(jnp.int32)
+                    jnp.int32, (TX, yhi - ylo), 0) + t * TX + 1 + x0v)
+                xext2 = ((gx2 == 1) | (gx2 == NXG - 2)).astype(jnp.int32)
                 for zf in (1, Nz - 2):
                     q = xext2 + 1
                     qf = q.astype(dtype)
@@ -603,9 +643,9 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                     pv = prev_ref[pslot, pbase:pbase + TX, ylo:yhi, zf]
                     outr[slot, :, ylo:yhi, zf] = (vals + lv * qf * pv) * w
                 for r in range(TX):
-                    gx_r = t * TX + 1 + r
+                    gx_r = t * TX + 1 + r + x0v
 
-                    @pl.when((gx_r == 1) | (gx_r == Nx - 2))
+                    @pl.when((gx_r == 1) | (gx_r == NXG - 2))
                     def _(r=r):
                         vals = outr[slot, r, ylo:yhi, 2:Nz - 2]
                         pv = prev_ref[pslot, pbase + r, ylo:yhi, 2:Nz - 2]
@@ -614,9 +654,16 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
 
             def inject(outr, slot, t, stage):
                 """Add the step's source samples into rows owned by tile t
-                (sources sit in the interior, never on halo rows)."""
+                (sources sit in the interior, never on halo rows).  Sharded,
+                the LOCAL coordinates come from SMEM at runtime — a source
+                in a ghost-overlap row is injected by BOTH neighbouring
+                shards (each into its own copy), keeping the duplicated row
+                consistent; non-owners never match the tile range."""
                 for i in range(Nin):
-                    gx, gy, gz = (int(v) for v in in_pts[i])
+                    if SHARDED:
+                        gx, gy, gz = iptr[0, i], iptr[1, i], iptr[2, i]
+                    else:
+                        gx, gy, gz = (int(v) for v in in_pts[i])
 
                     @pl.when((gx >= t * TX + 1) & (gx < t * TX + TX + 1))
                     def _(gx=gx, gy=gy, gz=gz, i=i):
@@ -1044,26 +1091,31 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
 
     gshape = jax.ShapeDtypeStruct((Nxp, Nyp, Nzp), dtype)
 
-    def fused(u1, u0, adj, sig2, states, pconsts):
+    def fused(u1, u0, adj, sig2, states, pconsts, scal=None, ipts=None):
         """states: {fam: (vh, gh)}; pconsts: {fam: (ssaf, coefs)} - the
         static plane arrays are threaded as jit args, never closed over
         (closure-captured device arrays inline into the serialized HLO).
         adj: the packed adjacency grid, or (adj_planes mode) the
-        {"z"/"y"/"x": int32 plane-adjacency} dict."""
-        ins = [sig2, u1, u0]
+        {"z"/"y"/"x": int32 plane-adjacency} dict.  scal/ipts: sharded-mode
+        SMEM scalars ([x0, is_first, is_last] and local source coords)."""
+        ins = [sig2]
+        if SHARDED:
+            ins += [scal, ipts]
+        n_smem = len(ins)
+        ins += [u1, u0]
         if NOFULL:
             for fam, on in (("z", AZ), ("y", AY), ("x", AX)):
                 if on:
                     ins.append(adj[fam])
         else:
             ins.append(adj)
-        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] \
-            + [pl.BlockSpec(memory_space=pl.ANY)] * (len(ins) - 1)
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * n_smem \
+            + [pl.BlockSpec(memory_space=pl.ANY)] * (len(ins) - n_smem)
         outs = [gshape, gshape]
         out_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 2
-        # input indices count sig(0), u1(1), u0(2), then adj / plane-adj:
-        # u3 output aliases u1, u2 output aliases u0
-        al = {1: 0, 2: 1}
+        # u3 output aliases u1, u2 output aliases u0 (positions shift by
+        # the SMEM input count)
+        al = {n_smem: 0, n_smem + 1: 1}
         idx, oidx = len(ins), 2
         fams = []
         for fam, on in (("z", PZ), ("y", PY), ("x", PX)):

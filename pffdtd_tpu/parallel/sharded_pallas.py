@@ -270,3 +270,264 @@ class ShardedPallasEngine:
                   f"{npts / 1e6:.2f} Mvox, {self.elapsed:.3f}s "
                   f"-> {self.mvps:.1f} MVPS")
         return self.u_out
+
+
+class ShardedPairEngine:
+    """x-slab sharded engine running the temporally-blocked PAIR kernel.
+
+    Each shard's local slab carries TWO ghost rows per side; per pair call
+    two u1 planes ppermute each way over ICI and the shard OVERLAP-COMPUTES
+    the intermediate step u2 on its edge rows (local rows 1 and S+2 — the
+    same values its neighbour computes for itself), so the second leapfrog
+    step of the pair needs no mid-pair exchange at all.  Halo traffic per
+    TWO steps equals the single-step engine's per ONE step — temporal
+    blocking halves both HBM and ICI bytes.
+
+    Requirements (else use ShardedPallasEngine): every lossy node on a
+    z/y-normal impedance plane (n_stray == 0, no x-planes: static x-row
+    ownership breaks SPMD), (Nx-2) % D == 0, and <= 64 sources.
+    Reference anchor: the multi-GPU pair of kernels + per-step peer halo
+    copies this replaces: gpu_engine.h:964-1126.
+    """
+
+    def __init__(self, folder=None, *, consts=None, vox=None, comms=None,
+                 mats=None, mesh: Mesh | None = None, dtype=np.float32,
+                 interpret: bool = False, tile_x: int | None = None):
+        from pffdtd_tpu.engine.pallas_pair import (build_fused_pair,
+                                                   pick_tile_pair)
+        from pffdtd_tpu.engine.jax_engine import GridSpec
+
+        if folder is not None:
+            sf = SimFolder(folder)
+            consts, vox, comms, mats = sf.consts, sf.vox, sf.comms, sf.mats
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.D = int(self.mesh.devices.size)
+        self.interpret = interpret
+
+        self.data = EngineData(consts, vox, comms, mats, dtype=dtype,
+                               pad_z=128)
+        d = self.data
+        g = d.grid
+        D = self.D
+        if (g.Nx - 2) % D:
+            raise ValueError(f"interior rows {g.Nx - 2} not divisible by "
+                             f"{D} shards; pad the grid")
+        if d.attach_planes() != 0:
+            raise ValueError("pair kernel requires full axis-plane "
+                             "boundary coverage (n_stray == 0)")
+        planes = d.planes
+        if planes is not None and planes.x is not None:
+            raise ValueError("x-normal impedance planes are unsupported "
+                             "in the sharded pair engine")
+        S = (g.Nx - 2) // D
+        self.S = S
+        adjb = 2 if d.NN == 12 else 1
+        TX = tile_x or pick_tile_pair(g.Nyp, g.Nzp, adj_bytes=adjb)
+        while TX > S + 2:
+            TX = max(1, TX // 2)
+        NXT = -(-(S + 2) // TX)
+        Nxp_loc = NXT * TX + 2
+        self.Nxp_loc = Nxp_loc
+        self.TX = TX
+        self.Nt = d.Nt
+        self.g_loc = GridSpec(Nx=S + 4, Ny=g.Ny, Nz=g.Nz, Nzp=g.Nzp,
+                              fcc_flag=g.fcc_flag, Nxp=Nxp_loc, Nyp=g.Nyp)
+
+        x0 = np.array([k * S - 1 for k in range(D)], np.int64)
+        self._x0 = x0
+        self._scal = np.stack([
+            x0.astype(np.int32),
+            (np.arange(D) == 0).astype(np.int32),
+            (np.arange(D) == D - 1).astype(np.int32)], axis=1)  # (D, 3)
+
+        # per-shard local slabs of the adjacency grid (ghost rows carry the
+        # NEIGHBOUR's adjacency: the overlap-computed edge u2 must be the
+        # same value the neighbour computes for itself)
+        adt = d.adj_grid.dtype
+        full_mask = adt.type((1 << d.NN) - 1)
+        adj_loc = np.full((D, Nxp_loc, g.Nyp, g.Nzp), full_mask, adt)
+        for k in range(D):
+            for i in range(Nxp_loc):
+                gi = i + x0[k]
+                if 0 <= gi < g.Nxp:
+                    adj_loc[k, i] = d.adj_grid[gi]
+        self._adj_loc = adj_loc.reshape(D * Nxp_loc, g.Nyp, g.Nzp)
+
+        # per-shard plane arrays: rows sliced to the local layout (rows
+        # outside the global grid keep ssaf = 0 -> exact identity)
+        self._fams = []
+        self._pconsts = {}
+        self._state_shapes = {}
+        if planes is not None:
+            for fam, pp in (("z", planes.z), ("y", planes.y)):
+                if pp is None:
+                    continue
+                sa_g = np.asarray(pp.ssaf)             # (Nxp, P, W)
+                sa_l = np.zeros((D, Nxp_loc) + sa_g.shape[1:], sa_g.dtype)
+                for k in range(D):
+                    for i in range(Nxp_loc):
+                        gi = i + x0[k]
+                        if 0 <= gi < sa_g.shape[0]:
+                            sa_l[k, i] = sa_g[gi]
+                self._pconsts[f"{fam}ssaf"] = sa_l.reshape(
+                    (D * Nxp_loc,) + sa_g.shape[1:]).astype(d.dtype)
+                self._pconsts[f"{fam}coefs"] = np.asarray(
+                    pp.coefs, d.dtype)
+                # state_shape(Nxp) returns (Nxp, P, MZ, W); swap the row
+                # dim for the sharded local layout
+                self._state_shapes[fam] = (
+                    (D * Nxp_loc,) + tuple(pp.state_shape(1)[1:]))
+                self._fams.append(fam)
+
+        # sources: per-shard LOCAL coordinates (the tile-range check in the
+        # kernel implements ownership, including the duplicated edge rows)
+        row = g.Nyp * g.Nzp
+        ii = np.asarray(d.in_ixyz)
+        gx = ii // row
+        gy = (ii // g.Nzp) % g.Nyp
+        gz = ii % g.Nzp
+        Nin = max(1, ii.size)
+        ipts = np.full((D, 3, Nin), -(10 ** 6), np.int32)
+        for k in range(D):
+            ipts[k, 0, :ii.size] = gx - x0[k]
+            ipts[k, 1, :ii.size] = gy
+            ipts[k, 2, :ii.size] = gz
+        self._ipts = ipts
+
+        # receivers: unique owner by REAL rows (local 2..S+1)
+        oo = np.asarray(d.out_ixyz)
+        ogx = oo // row
+        orem = oo - ogx * row
+        own = np.clip((ogx - 1) // S, 0, D - 1)
+        out_loc = np.zeros((D, oo.size), np.int64)
+        out_mask = np.zeros((D, oo.size), d.dtype)
+        for k in range(D):
+            m = own == k
+            out_loc[k, m] = (ogx[m] - x0[k]) * row + orem[m]
+            out_mask[k, m] = 1.0
+        self._out_loc, self._out_mask = out_loc, out_mask
+
+        # in_pts only sets the static source COUNT here (coordinates are
+        # read from the per-shard SMEM array at runtime in sharded mode)
+        self._fusedp = build_fused_pair(
+            self.g_loc, d.sc, d.fcc, dtype=jnp.float32 if d.dtype ==
+            np.float32 else jnp.float64, TX=TX, interpret=interpret,
+            in_pts=np.stack([gx, gy, gz], 1), planes=planes,
+            shard=(S, g.Nx))
+        self._build()
+
+    def _build(self):
+        d = self.data
+        g = d.grid
+        D, S = self.D, self.S
+        Nxp_loc = self.Nxp_loc
+        dtype = d.dtype
+        fams = self._fams
+        fusedp = self._fusedp
+        fwd = [(i, i + 1) for i in range(D - 1)]
+        bwd = [(i + 1, i) for i in range(D - 1)]
+        mesh = self.mesh
+
+        def shard_fn(u0, u1, vh, gh, out_prev, sigs_T, C):
+            scal = C["scal"][0]
+            ipts = C["ipts"][0]
+            states0 = {f: (vh[f], gh[f]) for f in fams}
+            pconsts = {f: (C[f"{f}ssaf"], C[f"{f}coefs"]) for f in fams}
+
+            def step(carry, sig2):
+                u0, u1, vh1, gh1, out_prev = carry
+                if D > 1:
+                    # two planes per side per PAIR: ghosts [0:2] from the
+                    # left edge rows [S:S+2], [S+2:S+4] from the right [2:4]
+                    from_left = jax.lax.ppermute(u1[S:S + 2], "x", fwd)
+                    from_right = jax.lax.ppermute(u1[2:4], "x", bwd)
+                    u1 = u1.at[0:2].set(from_left)
+                    u1 = u1.at[S + 2:S + 4].set(from_right)
+                states = {f: (vh1[f], gh1[f]) for f in fams}
+                u3, u2, ns = fusedp(u1, u0, C["adj"], sig2, states,
+                                    pconsts, scal=scal, ipts=ipts)
+                if D > 1 and fams:
+                    # stage 2 updates the duplicated edge-row plane states
+                    # from the (by design) stale u2 ghost: overwrite each
+                    # ghost state row with the neighbour's REAL row (edge
+                    # shards receive zeros - their ghost rows are global
+                    # halos with ssaf = 0, identity ODE)
+                    ns = dict(ns)
+                    for f in fams:
+                        vhf, ghf = ns[f]
+                        vl = jax.lax.ppermute(vhf[S + 1:S + 2], "x", fwd)
+                        gl = jax.lax.ppermute(ghf[S + 1:S + 2], "x", fwd)
+                        vr = jax.lax.ppermute(vhf[2:3], "x", bwd)
+                        gr = jax.lax.ppermute(ghf[2:3], "x", bwd)
+                        vhf = vhf.at[1:2].set(vl).at[S + 2:S + 3].set(vr)
+                        ghf = ghf.at[1:2].set(gl).at[S + 2:S + 3].set(gr)
+                        ns[f] = (vhf, ghf)
+                out_b = jax.lax.psum(
+                    u2.reshape(-1)[C["out_loc"][0]] * C["out_mask"][0], "x")
+                out_c = jax.lax.psum(
+                    u3.reshape(-1)[C["out_loc"][0]] * C["out_mask"][0], "x")
+                vh0 = {f: ns[f][0] for f in fams}
+                gh0 = {f: ns[f][1] for f in fams}
+                return ((u2, u3, vh0, gh0, out_c),
+                        jnp.stack([out_prev, out_b]))
+
+            n = sigs_T.shape[0]
+            pairs = sigs_T.reshape(n // 2, 2, -1)
+            carry, ys = jax.lax.scan(
+                step, (u0, u1, {f: vh[f] for f in fams},
+                       {f: gh[f] for f in fams}, out_prev), pairs)
+            return carry, ys.reshape(n, -1)
+
+        st_spec = {f: P("x") for f in fams}
+        specs = {
+            "adj": P("x"), "scal": P("x"), "ipts": P("x"),
+            "out_loc": P("x"), "out_mask": P("x"),
+        }
+        for f in fams:
+            specs[f + "ssaf"] = P("x")
+            specs[f + "coefs"] = P()
+        fn = jax.shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P("x"), P("x"), st_spec, st_spec, P(), P(), specs),
+            out_specs=((P("x"), P("x"), st_spec, st_spec, P()), P()),
+            check_vma=False)
+        self._run = jax.jit(fn, donate_argnums=(0, 1, 2, 3))
+
+    def run(self, nt: int | None = None, verbose: bool = True):
+        import time
+
+        d = self.data
+        g = d.grid
+        D = self.D
+        nt = self.Nt if nt is None else nt
+        nt -= nt % 2  # the pair scan advances two steps per iteration
+        sigs = (d.in_sigs[:, :nt] / d.infac).T.astype(d.dtype)
+
+        sh = NamedSharding(self.mesh, P("x"))
+        shape = (D * self.Nxp_loc, g.Nyp, g.Nzp)
+        u0 = jax.device_put(jnp.zeros(shape, d.dtype), sh)
+        u1 = jax.device_put(jnp.zeros(shape, d.dtype), sh)
+        vh = {f: jax.device_put(jnp.zeros(self._state_shapes[f], d.dtype),
+                                sh) for f in self._fams}
+        gh = {f: jax.device_put(jnp.zeros(self._state_shapes[f], d.dtype),
+                                sh) for f in self._fams}
+        out0 = jnp.zeros(len(d.out_ixyz), d.dtype)
+
+        C = {"adj": self._adj_loc, "scal": self._scal, "ipts": self._ipts,
+             "out_loc": self._out_loc, "out_mask": self._out_mask}
+        C.update(self._pconsts)
+
+        t0 = time.perf_counter()
+        carry, ys = self._run(u0, u1, vh, gh, out0, jnp.asarray(sigs), C)
+        ys = np.asarray(jax.block_until_ready(ys))
+        t1 = time.perf_counter()
+
+        self.u_out = np.float64(ys.T) * d.infac
+        npts = g.Nx * g.Ny * g.Nz
+        self.elapsed = t1 - t0
+        self.mvps = npts * nt / self.elapsed / 1e6
+        if verbose:
+            print(f"--ENGINE(sharded-pair x{self.D}): {nt} steps, "
+                  f"{npts / 1e6:.2f} Mvox, {self.elapsed:.3f}s "
+                  f"-> {self.mvps:.1f} MVPS")
+        return self.u_out

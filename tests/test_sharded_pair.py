@@ -1,0 +1,94 @@
+"""Sharded temporally-blocked pair engine (interpret mode, CPU mesh).
+
+The multi-chip fast path for plane-coverable scenes: per-shard pair
+kernels (TWO leapfrog steps per sweep) with a 2-deep ghost exchange and
+overlap-computed edge u2 — halo traffic per two steps equals the
+single-step engine's per one step.  Requirement: shard-count invariance
+and agreement with the single-device XLA engine.
+"""
+
+from dataclasses import replace
+
+import numpy as np
+import pytest
+
+from pffdtd_tpu.demo import synthetic_box_sim
+from pffdtd_tpu.engine.jax_engine import JaxEngine
+from pffdtd_tpu.parallel.sharded_engine import make_mesh
+from pffdtd_tpu.parallel.sharded_pallas import ShardedPairEngine
+
+
+def _pad_divisible(sim, D=4):
+    vox = sim.vox
+    rem = (vox.Nx - 2) % D
+    if rem:
+        add = D - rem
+        sim = replace(sim, vox=replace(
+            vox, Nx=vox.Nx + add,
+            xv=np.r_[vox.xv, vox.xv[-1] + vox.h * np.arange(1, add + 1)]))
+    return sim
+
+
+def _rigidify_x_walls(sim):
+    """Clear materials on x-extreme wall nodes: x-normal impedance planes
+    are single-device-only (static tile ownership breaks SPMD)."""
+    vox = sim.vox
+    row = vox.Ny * vox.Nz
+    gx = np.asarray(vox.bn_ixyz) // row
+    xs = np.unique(gx)
+    lo, hi = xs[:2], xs[-2:]
+    mat = np.asarray(vox.mat_bn).copy()
+    mat[np.isin(gx, np.r_[lo, hi])] = -1
+    return replace(sim, vox=replace(vox, mat_bn=mat))
+
+
+def _compare(sim, tol=2e-5):
+    jx = JaxEngine(consts=sim.consts, vox=sim.vox, comms=sim.comms,
+                   mats=sim.mats, dtype=np.float32, backend="xla")
+    jx.run(verbose=False)
+    outs = {}
+    for D in (1, 4):
+        sp = ShardedPairEngine(consts=sim.consts, vox=sim.vox,
+                               comms=sim.comms, mats=sim.mats,
+                               mesh=make_mesh(D), dtype=np.float32,
+                               interpret=True)
+        sp.run(verbose=False)
+        outs[D] = sp.u_out
+    nt = outs[1].shape[1]
+    assert np.array_equal(outs[1], outs[4])
+    scale = np.abs(jx.u_out).max()
+    assert np.abs(outs[4] - jx.u_out[:, :nt]).max() / scale < tol
+
+
+def test_sharded_pair_rigid_cart():
+    sim = synthetic_box_sim(3.1, 2.0, 1.7, h=0.12, Nt=40, lossy=False,
+                            insig_type="hann10", diff_source=False)
+    _compare(_pad_divisible(sim))
+
+
+def test_sharded_pair_rigid_fcc():
+    sim = synthetic_box_sim(2.6, 2.0, 1.6, h=0.14, Nt=30, lossy=False,
+                            fcc=True, insig_type="hann10", diff_source=False)
+    _compare(_pad_divisible(sim))
+
+
+def test_sharded_pair_lossy_zy(monkeypatch):
+    # z/y walls keep their impedance; x walls are rigidified (x-plane
+    # fusion is single-device-only) so the plane cover has no x family
+    monkeypatch.setenv("PFFDTD_ZPLANE_MIN_COUNT", "1")
+    monkeypatch.setenv("PFFDTD_ZPLANE_MIN_DENSITY", "0.3")
+    sim = synthetic_box_sim(2.5, 2.0, 1.6, h=0.1, Nt=30, lossy=True,
+                            insig_type="hann10", diff_source=False)
+    _compare(_rigidify_x_walls(_pad_divisible(sim)), tol=1e-4)
+
+
+def test_sharded_pair_rejects_x_planes(monkeypatch):
+    monkeypatch.setenv("PFFDTD_ZPLANE_MIN_COUNT", "1")
+    monkeypatch.setenv("PFFDTD_ZPLANE_MIN_DENSITY", "0.3")
+    sim = synthetic_box_sim(2.5, 2.0, 1.6, h=0.1, Nt=10, lossy=True,
+                            insig_type="hann10", diff_source=False)
+    sim = _pad_divisible(sim)
+    with pytest.raises(ValueError, match="x-normal"):
+        ShardedPairEngine(consts=sim.consts, vox=sim.vox, comms=sim.comms,
+                          mats=sim.mats, mesh=make_mesh(4),
+                          dtype=np.float32, interpret=True)
