@@ -467,12 +467,16 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                 straight and rolled locally - the wrapped row lands only on
                 the global y halo/pad rows (garbage by convention, rebuilt
                 by the mirror flips before any real use)."""
-                # legs grouped by dz: the group SUM is lane-rolled once
-                # (8 rolls -> 2 for FCC; a lane roll costs ~2-3x an add,
+                # legs grouped by dz, the group SUM lane-rolled once -
+                # but ONLY when the group has >= 3 legs (FCC: two 4-leg
+                # groups, 8 rolls -> 2; a lane roll costs ~2-3x an add,
                 # measured ~+37% whole-kernel when ablated).  The masked
-                # path pre-rolls the packed adjacency word per group (2
-                # int rolls) so bits mask in neighbour-aligned position;
-                # K keeps the node-aligned word.
+                # path then pre-rolls the packed adjacency word per group
+                # so bits mask in neighbour-aligned position, paying a
+                # second node-aligned unpack for K; small groups (all of
+                # Cartesian) keep the per-leg roll with the node-aligned
+                # bit shared between mask and K - exactly the pre-grouping
+                # trace (group-rolling Cartesian measured -17% rigid).
                 groups: dict[int, list[int]] = {}
                 for k in range(NN):
                     groups.setdefault(int(VV[k][2]), []).append(k)
@@ -482,11 +486,14 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                         read_adj(yc, hy).astype(jnp.int32)
                     u1c = read_src(1, yc, hy)
                     acc = None
+                    K = None
                     for dz in sorted(groups):
+                        ks = groups[dz]
+                        gro = bool(dz) and len(ks) >= 3
                         a32g = None if NOFULL else \
-                            (_roll(a32, dz, 2) if dz else a32)
+                            (_roll(a32, dz, 2) if gro else a32)
                         gacc = None
-                        for k in groups[dz]:
+                        for k in ks:
                             dx, dy, _ = VV[k]
                             if dy == 0 or (yc + dy >= 0
                                            and yc + hy + dy <= Nyp):
@@ -494,6 +501,8 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                             else:
                                 nb = _roll(read_src(1 + dx, yc, hy),
                                            -dy, 1)
+                            if dz and not gro:
+                                nb = _roll(nb, -dz, 2)
                             if NOFULL:
                                 # off-plane nodes are all full: pure sum,
                                 # cover planes get the masked value from
@@ -502,18 +511,17 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                             else:
                                 bit = ((a32g >> k) & 1).astype(dtype)
                                 t_k = bit * nb
+                                if gro:
+                                    # mask bit was neighbour-aligned: K
+                                    # needs the node-aligned one (exact:
+                                    # integer-valued f32 sums never round)
+                                    bit = ((a32 >> k) & 1).astype(dtype)
+                                K = bit if K is None else K + bit
                             gacc = t_k if gacc is None else gacc + t_k
-                        if dz:
+                        if gro:
                             gacc = _roll(gacc, -dz, 2)
                         acc = gacc if acc is None else acc + gacc
-                    if NOFULL:
-                        diag = cfull
-                    else:
-                        Ki = None
-                        for k in range(NN):
-                            b = (a32 >> k) & 1
-                            Ki = b if Ki is None else Ki + b
-                        diag = two - sl2 * Ki.astype(dtype)
+                    diag = cfull if NOFULL else (two - sl2 * K)
                     write(yc, hy,
                           diag * u1c - read_prev(yc, hy) + a2 * acc)
 
