@@ -82,6 +82,19 @@ def test_sharded_pair_lossy_zy(monkeypatch):
     _compare(_rigidify_x_walls(_pad_divisible(sim)), tol=1e-4)
 
 
+def test_sharded_pair_lossy_fcc_folded(monkeypatch):
+    # folded-FCC grid (fold ghost row at high y) + z/y impedance planes
+    monkeypatch.setenv("PFFDTD_ZPLANE_MIN_COUNT", "1")
+    monkeypatch.setenv("PFFDTD_ZPLANE_MIN_DENSITY", "0.12")
+    from pffdtd_tpu.prep import fold_fcc_sim, rotate_sim, sort_sim
+
+    sim = synthetic_box_sim(2.2, 1.8, 1.5, h=0.12, Nt=30, lossy=True,
+                            fcc=True, insig_type="hann10",
+                            diff_source=False)
+    sim = sort_sim(fold_fcc_sim(rotate_sim(sim)))
+    _compare(_rigidify_x_walls(_pad_divisible(sim)), tol=1e-4)
+
+
 def test_sharded_pair_rejects_x_planes(monkeypatch):
     monkeypatch.setenv("PFFDTD_ZPLANE_MIN_COUNT", "1")
     monkeypatch.setenv("PFFDTD_ZPLANE_MIN_DENSITY", "0.3")
