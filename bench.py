@@ -103,18 +103,25 @@ def run_real_mv(nt, fmax=2000.0):
     return eng.mvps
 
 
-def fp32_energy_drift(nsteps=50000):
-    """Relative signal drift of a sealed rigid fp32 box over nsteps -
+def fp32_energy_drift(nsteps=50000, lossy=False):
+    """Relative signal drift of an fp32 box over nsteps -
     production-RIR-length validation of the (1+EPS) diagonal-shift fp32
     discipline (fdtd_data.h:186-194).  The leapfrog is symplectic: bounded
     oscillation is stable; tail growth means the Laplacian lost negative
     semi-definiteness (the failure mode the reference's RTZ intrinsics
-    guard against, fdtd_common.h:57-68)."""
+    guard against, fdtd_common.h:57-68).
+
+    lossy=False: sealed rigid box (the pure-air + rigid-mask path).
+    lossy=True: 11-branch impedance walls AND an open top venting into the
+    Engquist-Majda ABCs - the full fp32 physics (boundary ODE + ABC) at
+    production length.  Dissipation makes the tail decay; the check is
+    that it does not GROW (drift ratio stays <= ~1)."""
     from pffdtd_tpu.demo import synthetic_box_sim
     from pffdtd_tpu.engine.jax_engine import JaxEngine
 
-    sim = synthetic_box_sim(4.0, 3.1, 2.6, h=0.04, Nt=nsteps, lossy=False,
-                            insig_type="hann10", diff_source=False)
+    sim = synthetic_box_sim(4.0, 3.1, 2.6, h=0.04, Nt=nsteps, lossy=lossy,
+                            insig_type="hann10", diff_source=False,
+                            DEF=DEF11 if lossy else None, open_top=lossy)
     eng = JaxEngine(consts=sim.consts, vox=sim.vox, comms=sim.comms,
                     mats=sim.mats, dtype=np.float32)
     eng.run(verbose=False, chunk=min(nsteps, 10000))
@@ -204,6 +211,11 @@ def main():
             except Exception as e:  # noqa: BLE001
                 print(f"  mv_fcc_lossy failed: {e}", file=sys.stderr)
         secondary["fp32_tail_to_head_rms_50k"] = fp32_energy_drift()
+        try:
+            secondary["fp32_tail_to_head_rms_50k_lossy"] = \
+                fp32_energy_drift(lossy=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"  fp32 lossy drift failed: {e}", file=sys.stderr)
         try:
             mvps_sp, err_sp = sharded_pallas_tpu()
             secondary["sharded_pallas_tpu_mvps"] = mvps_sp

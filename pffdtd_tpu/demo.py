@@ -69,13 +69,19 @@ def synthetic_box_sim(Lx=8.0, Ly=6.0, Lz=5.0, h=0.02, duration=None, Nt=None,
                       fcc=False, lossy=True, Tc=20.0, rh=50.0,
                       insig_type="impulse", diff_source=None,
                       pad_x_to: int | None = None,
-                      DEF: np.ndarray | None = None) -> SimData:
+                      DEF: np.ndarray | None = None,
+                      open_top: bool = False) -> SimData:
     """Analytic axis-aligned box sim data at arbitrary scale.
 
     Boundary adjacency: a leg from an in-room grid point is cut iff the
     neighbour point leaves the open box (0,Lx)x(0,Ly)x(0,Lz).  Exterior
     points are left as plain air (their waves never enter: rigid walls).
     For FCC only even-parity points are considered.
+
+    open_top=True removes the z=Lz wall entirely: the field escapes
+    through the opening and is absorbed by the Engquist-Majda ABCs at the
+    grid extremes — the scene that exercises the ABC + lossy-ODE fp32
+    paths together over production-length runs.
     """
     sc = SimConsts(Tc=Tc, rh=rh, h=h, fcc=fcc)
     from pffdtd_tpu.voxelizer.grid import CartGrid
@@ -102,7 +108,7 @@ def synthetic_box_sim(Lx=8.0, Ly=6.0, Lz=5.0, h=0.02, duration=None, Nt=None,
     xv, yv, zv = cg.xv, cg.yv, cg.zv
     inx = (xv > eps) & (xv < Lx - eps)
     iny = (yv > eps) & (yv < Ly - eps)
-    inz = (zv > eps) & (zv < Lz - eps)
+    inz = (zv > eps) & ((zv < Lz - eps) | open_top)
 
     # candidates: points within one step of a wall plane (either side),
     # excluding the outermost grid layer
@@ -132,7 +138,7 @@ def synthetic_box_sim(Lx=8.0, Ly=6.0, Lz=5.0, h=0.02, duration=None, Nt=None,
             qx, qy, qz = px + dx * h, py + dy * h, pz + dz * h
             inside_q = ((qx > eps) & (qx < Lx - eps)
                         & (qy > eps) & (qy < Ly - eps)
-                        & (qz > eps) & (qz < Lz - eps))
+                        & (qz > eps) & ((qz < Lz - eps) | open_top))
             adj[:, k] = inside_p == inside_q
         is_bn = (~adj).any(-1)
         if not is_bn.any():

@@ -669,6 +669,9 @@ class JaxEngine:
         if folder is not None:
             sf = SimFolder(folder)
             consts, vox, comms, mats = sf.consts, sf.vox, sf.comms, sf.mats
+        from pffdtd_tpu.utils import enable_compilation_cache
+
+        enable_compilation_cache()
         import os as _os
 
         Nzp = int(-(-vox.Nz // (pad_z or 1)) * (pad_z or 1)) if pad_z \
@@ -754,13 +757,18 @@ class JaxEngine:
             # in its original slot (unew lands in the donated buffer via the
             # kernel's output aliasing) and the copy disappears.
             n = sigs_T.shape[0]
-            if n % 2:  # callers pad to even; plain scan as a safety net
-                def body(c, x):
-                    return step(c, x, C)
+            if n % 2:  # callers pad to even; safety net for direct calls
+                if backend != "pallas_pair":
+                    def body(c, x):
+                        return step(c, x, C)
 
-                return jax.lax.scan(body, carry, sigs_T)
+                    return jax.lax.scan(body, carry, sigs_T)
+                # the pair kernel consumes (2, Ns) signal pairs: zero-pad
+                # the odd tail step and trim the extra output row
+                sigs_T = jnp.concatenate(
+                    [sigs_T, jnp.zeros_like(sigs_T[:1])], axis=0)
 
-            pairs = sigs_T.reshape(n // 2, 2, *sigs_T.shape[1:])
+            pairs = sigs_T.reshape(-1, 2, *sigs_T.shape[1:])
 
             if backend == "pallas_pair":
                 # the kernel itself advances two steps per call and returns
@@ -775,7 +783,8 @@ class JaxEngine:
                         lambda a, b: jnp.stack((a, b)), y0, y1)
 
             carry, ys = jax.lax.scan(body2, carry, pairs)
-            ys = jax.tree.map(lambda a: a.reshape(n, *a.shape[2:]), ys)
+            ys = jax.tree.map(
+                lambda a: a.reshape(-1, *a.shape[2:])[:n], ys)
             return carry, ys
 
         self._run_scan = run_scan

@@ -113,7 +113,13 @@ def partition_adj_planes(adj_grid, grid, NN: int, max_per_axis: int = 16,
     x_rows = sorted(v for ax, v in planes if ax == 0)
     y_subl = sorted(v for ax, v in planes if ax == 1)
     z_lanes = sorted(v for ax, v in planes if ax == 2)
+    # planes landing on halo/pad coordinates have no kernel support: fall
+    # back to the masked path instead of tripping build_fused_pair asserts
     if any(not 1 <= x <= grid.Nx - 2 for x in x_rows):
+        return None
+    if any(not 1 <= z <= grid.Nz - 2 for z in z_lanes):
+        return None
+    if any(not 1 <= y <= grid.Ny - 2 for y in y_subl):
         return None
     a32 = np.asarray(adj_grid, np.int32)
     zadj = yadj = xadj = None
@@ -171,7 +177,9 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
     dict of the per-plane adjacency (NOT the grid — the full adjacency
     grid is neither read nor streamed): the bulk runs the unmasked
     neighbour sum and the masked stencil is recomputed on the cover planes
-    only.  Bit-identical to the masked path (same accumulation order).
+    only.  Numerically equivalent to the masked path but NOT bitwise: the
+    fix-up sums legs in plain k order while the masked bulk groups legs by
+    dz (a different fp association; tests assert 1e-5 agreement).
 
     shard: optional (S, Nx_global) enables the x-slab SPMD variant: grid
     holds the LOCAL extents with TWO ghost rows per side (local interior

@@ -147,6 +147,9 @@ class ShardedEngine:
         if folder is not None:
             sf = SimFolder(folder)
             consts, vox, comms, mats = sf.consts, sf.vox, sf.comms, sf.mats
+        from pffdtd_tpu.utils import enable_compilation_cache
+
+        enable_compilation_cache()
         self.mesh = mesh if mesh is not None else make_mesh()
         self.D = self.mesh.devices.size
         self.data = EngineData(consts, vox, comms, mats, dtype=dtype,

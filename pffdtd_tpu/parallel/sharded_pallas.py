@@ -43,6 +43,9 @@ class ShardedPallasEngine:
         if folder is not None:
             sf = SimFolder(folder)
             consts, vox, comms, mats = sf.consts, sf.vox, sf.comms, sf.mats
+        from pffdtd_tpu.utils import enable_compilation_cache
+
+        enable_compilation_cache()
         self.mesh = mesh if mesh is not None else make_mesh()
         self.D = int(self.mesh.devices.size)
         self.interpret = interpret
@@ -300,12 +303,22 @@ class ShardedPairEngine:
         if folder is not None:
             sf = SimFolder(folder)
             consts, vox, comms, mats = sf.consts, sf.vox, sf.comms, sf.mats
+        from pffdtd_tpu.utils import enable_compilation_cache
+
+        enable_compilation_cache()
         self.mesh = mesh if mesh is not None else make_mesh()
         self.D = int(self.mesh.devices.size)
         self.interpret = interpret
 
         self.data = EngineData(consts, vox, comms, mats, dtype=dtype,
                                pad_z=128)
+        if len(self.data.in_ixyz) > 64:
+            # each source unrolls a masked in-kernel injection per stage:
+            # large lists explode compile time (JaxEngine's auto path
+            # enforces the same limit before choosing the pair backend)
+            raise ValueError(
+                f"{len(self.data.in_ixyz)} sources exceed the pair "
+                "kernel's supported 64; use ShardedPallasEngine")
         d = self.data
         g = d.grid
         D = self.D
@@ -500,8 +513,11 @@ class ShardedPairEngine:
         g = d.grid
         D = self.D
         nt = self.Nt if nt is None else nt
-        nt -= nt % 2  # the pair scan advances two steps per iteration
-        sigs = (d.in_sigs[:, :nt] / d.infac).T.astype(d.dtype)
+        # the pair scan advances two steps per iteration: zero-pad an odd
+        # request and trim the output back (matches JaxEngine.run)
+        nt_run = nt + nt % 2
+        sigs = np.zeros((nt_run, d.in_sigs.shape[0]), d.dtype)
+        sigs[:nt] = (d.in_sigs[:, :nt] / d.infac).T.astype(d.dtype)
 
         sh = NamedSharding(self.mesh, P("x"))
         shape = (D * self.Nxp_loc, g.Nyp, g.Nzp)
@@ -519,7 +535,7 @@ class ShardedPairEngine:
 
         t0 = time.perf_counter()
         carry, ys = self._run(u0, u1, vh, gh, out0, jnp.asarray(sigs), C)
-        ys = np.asarray(jax.block_until_ready(ys))
+        ys = np.asarray(jax.block_until_ready(ys))[:nt]
         t1 = time.perf_counter()
 
         self.u_out = np.float64(ys.T) * d.infac

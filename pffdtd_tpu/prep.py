@@ -60,6 +60,27 @@ def boundary_face_counts(vox) -> np.ndarray:
     return counts
 
 
+def pad_x_interior(sim: SimData, D: int, interior: bool = True) -> SimData:
+    """Pad the grid's x extent so it splits into D equal x-slabs.
+
+    interior=True targets the sharded pair engine's contract
+    ((Nx - 2) % D == 0); interior=False targets ShardedEngine's
+    (Nx % D == 0).  Padding rows are plain exterior air past the high-x
+    wall — they carry no boundary nodes and stay acoustically decoupled
+    from the room, so results are unchanged (the multi-GPU reference
+    instead *requires* divisible splits, gpu_engine.h:516-662).
+    """
+    vox = sim.vox
+    base = vox.Nx - 2 if interior else vox.Nx
+    rem = base % D
+    if not rem:
+        return sim
+    add = D - rem
+    return replace(sim, vox=replace(
+        vox, Nx=vox.Nx + add,
+        xv=np.r_[vox.xv, vox.xv[-1] + vox.h * np.arange(1, add + 1)]))
+
+
 def rotate_sim(sim: SimData, tr=None, orient: str = "auto") -> SimData:
     """Permute grid dims for TPU-friendly memory order.
 

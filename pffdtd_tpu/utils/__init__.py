@@ -8,6 +8,45 @@ from __future__ import annotations
 
 import numpy as np
 
+_CACHE_DONE = False
+
+
+def enable_compilation_cache():
+    """Point JAX at a persistent on-disk compilation cache.
+
+    Mosaic compiles of the masked pair kernel at benchmark scale take
+    minutes (8-26 min measured); the reference engines have zero compile
+    latency, so amortising ours across invocations is a TPU-only
+    operational necessity.  Called by every engine constructor; disable
+    with PFFDTD_COMPILE_CACHE=0, relocate with PFFDTD_COMPILE_CACHE_DIR.
+    """
+    global _CACHE_DONE
+    if _CACHE_DONE:
+        return
+    _CACHE_DONE = True
+    import os
+
+    if os.environ.get("PFFDTD_COMPILE_CACHE", "1") == "0":
+        return
+    d = os.environ.get(
+        "PFFDTD_COMPILE_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "pffdtd_tpu", "xla"))
+    try:
+        import jax
+
+        if jax.devices()[0].platform == "cpu":
+            # CPU AOT cache entries are machine-feature-specific (risk of
+            # SIGILL when /root is shared across hosts); the minutes-long
+            # compiles being amortised are all Mosaic/TPU anyway
+            return
+        os.makedirs(d, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", d)
+        # cache every nontrivial compile (default threshold is 1 s wall)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:  # noqa: BLE001 - cache is an optimisation, never fatal
+        pass
+
 
 def iceil(x) -> np.int_:
     return np.int_(np.ceil(x))

@@ -16,17 +16,11 @@ from pffdtd_tpu.demo import synthetic_box_sim
 from pffdtd_tpu.engine.jax_engine import JaxEngine
 from pffdtd_tpu.parallel.sharded_engine import make_mesh
 from pffdtd_tpu.parallel.sharded_pallas import ShardedPairEngine
+from pffdtd_tpu.prep import pad_x_interior
 
 
 def _pad_divisible(sim, D=4):
-    vox = sim.vox
-    rem = (vox.Nx - 2) % D
-    if rem:
-        add = D - rem
-        sim = replace(sim, vox=replace(
-            vox, Nx=vox.Nx + add,
-            xv=np.r_[vox.xv, vox.xv[-1] + vox.h * np.arange(1, add + 1)]))
-    return sim
+    return pad_x_interior(sim, D)
 
 
 def _rigidify_x_walls(sim):
