@@ -338,7 +338,12 @@ def build_step(data: EngineData, energy: bool = False,
             "bn_cut": np.asarray(data.bn_cut),
             "bn_ncut": np.asarray(data.bn_ncut),
         })
-    if data.Nbl and (backend != "pallas" or energy or data.bhyb is None):
+    # per-node ODE rows are read by the XLA path, the energy oracle, and
+    # the pallas backend's no-hybrid fallback; the pair/TB kernels fuse all
+    # lossy work in-kernel (uploading (Nbl, MMb) rows there would waste
+    # ~0.5 GB HBM at benchmark scale)
+    if data.Nbl and (energy or backend == "xla"
+                     or (backend == "pallas" and data.bhyb is None)):
         consts.update({
             "bnl": np.asarray(data.bnl_ixyz),
             "ssaf": np.asarray(data.ssaf_bnl),
@@ -400,11 +405,13 @@ def build_step(data: EngineData, energy: bool = False,
             u = u.at[p].add(sig_n[i].astype(dtype))
         return u
 
-    if backend == "pallas_pair":
-        # temporally-blocked fast path: ONE kernel call advances TWO steps
-        # (u0, u1) -> (u2, u3); receiver samples for the intermediate step
-        # come from the u2 output, sources are injected in-kernel
+    if backend in ("pallas_pair", "pallas_tb"):
+        # temporally-blocked fast path: ONE kernel call advances TB steps
+        # (u0, u1) -> (u^{n+TB-1}, u^{n+TB}); receiver samples for the
+        # final two steps come from the output fields, deeper-blocked
+        # intermediates from in-kernel taps; sources inject in-kernel
         from pffdtd_tpu.engine.pallas_pair import build_fused_pair
+        from pffdtd_tpu.engine.pallas_tb import build_fused_tb
 
         assert not energy, "energy accounting uses the xla backend"
         assert rigid == "dense"
@@ -412,12 +419,23 @@ def build_step(data: EngineData, energy: bool = False,
         NyNz = g.Nyp * g.Nzp
         ii = np.asarray(data.in_ixyz)
         in_pts = np.stack([ii // NyNz, (ii // g.Nzp) % g.Nyp, ii % g.Nzp], 1)
+        oo = np.asarray(data.out_ixyz)
+        o_pts = np.stack([oo // NyNz, (oo // g.Nzp) % g.Nyp, oo % g.Nzp], 1)
         planes = getattr(data, "planes", None)
         apl = getattr(data, "adj_planes", None)
-        fusedp = build_fused_pair(g, sc, data.fcc, dtype=jdt,
-                                  TX=data.tile_x or 8, interpret=interpret,
-                                  in_pts=in_pts, planes=planes,
-                                  adj_planes=apl)
+        TB = getattr(data, "tb", 2)
+        if backend == "pallas_tb":
+            fusedp = build_fused_tb(g, sc, data.fcc, dtype=jdt,
+                                    TX=data.tile_x or 4, TB=TB,
+                                    interpret=interpret, in_pts=in_pts,
+                                    out_pts=o_pts, planes=planes,
+                                    adj_planes=apl)
+        else:
+            fusedp = build_fused_pair(g, sc, data.fcc, dtype=jdt,
+                                      TX=data.tile_x or 8,
+                                      interpret=interpret,
+                                      in_pts=in_pts, planes=planes,
+                                      adj_planes=apl)
         if apl is not None:
             # the full adjacency grid is never read in this mode: only the
             # small per-plane adjacency arrays go to the device
@@ -435,22 +453,29 @@ def build_step(data: EngineData, energy: bool = False,
                     consts[f"{fam}coefs"] = pp.coefs.astype(dtype)
                     fam_list.append(fam)
 
-        def step_pair(carry, sig2, C):
+        def step_pair(carry, sigG, C):
             # the u^n receiver sample is CARRIED from the previous
-            # iteration's u3 gather: reading u1 here would force XLA to
-            # copy the whole grid to protect the aliased kernel input
+            # iteration's final-field gather: reading u1 here would force
+            # XLA to copy the whole grid to protect the aliased input
             u0, u1, vh1, gh1, out_prev = carry
             states = {f: (vh1[f], gh1[f]) for f in fam_list}
             pconsts = {f: (C[f"{f}ssaf"], C[f"{f}coefs"]) for f in fam_list}
             adj_arg = C["adjpl"] if apl is not None else C["adj_grid"]
-            u3, u2, ns = fusedp(u1, u0, adj_arg,
-                                sig2.astype(dtype), states, pconsts)
-            out_b = read_taps(u2)    # u^{n+1}
-            out_c = read_taps(u3)    # u^{n+2}, next iteration's out_prev
+            if backend == "pallas_tb":
+                uN1, uN, taps, ns = fusedp(u1, u0, adj_arg,
+                                           sigG.astype(dtype), states,
+                                           pconsts)
+                rows = ([out_prev]                       # u^n
+                        + [taps[i] for i in range(TB - 2)]  # u^{n+1..TB-2}
+                        + [read_taps(uN)])               # u^{n+TB-1}
+            else:
+                uN1, uN, ns = fusedp(u1, u0, adj_arg,
+                                     sigG.astype(dtype), states, pconsts)
+                rows = [out_prev, read_taps(uN)]
+            out_c = read_taps(uN1)   # u^{n+TB}, next iteration's out_prev
             vh0 = {f: ns[f][0] for f in fam_list}
             gh0 = {f: ns[f][1] for f in fam_list}
-            return ((u2, u3, vh0, gh0, out_c),
-                    jnp.stack([out_prev, out_b]))
+            return ((uN, uN1, vh0, gh0, out_c), jnp.stack(rows))
 
         return step_pair, consts
 
@@ -702,21 +727,51 @@ class JaxEngine:
                     if data.attach_planes() == 0:
                         backend = "pallas_pair"
                         nofull = data.attach_adj_planes()
-                        if tile_x is None:
-                            sb = (data.planes.state_bytes_per_row()
-                                  if data.planes is not None else 0)
+
+                        def _sb(tb):
+                            return (data.planes.state_bytes_per_row(tb=tb)
+                                    if data.planes is not None else 0)
+
+                        # deeper temporal blocking (TB > 2 steps per HBM
+                        # sweep) when the VMEM rings fit: the pair kernel
+                        # is DMA-floor-bound, so fewer bytes/step wins
+                        tb_env = _os.environ.get("PFFDTD_TB", "auto")
+                        want = None
+                        if tb_env not in ("0", "2") \
+                                and len(comms.out_ixyz) <= 64:
+                            from pffdtd_tpu.engine.pallas_tb import \
+                                pick_tile_tb
+
+                            cands = ([int(tb_env)] if tb_env != "auto"
+                                     else [4, 3])
+                            for tbc in cands:
+                                txc = pick_tile_tb(
+                                    Nyp, Nzp, tbc,
+                                    adj_bytes=0 if nofull else adjb,
+                                    state_bytes=_sb(tbc), min_tx=4)
+                                if txc:
+                                    want = (tbc, txc)
+                                    break
+                        if want is not None:
+                            backend = "pallas_tb"
+                            tbc, tp2 = want
+                        elif tile_x is None:
                             tp2 = pick_tile_pair(
                                 Nyp, Nzp, adj_bytes=0 if nofull else adjb,
-                                state_bytes=sb)
-                            if tp2 != tp:
-                                data = EngineData(
-                                    consts, vox, comms, mats, dtype=dtype,
-                                    pad_z=pad_z, fp32_eps=fp32_eps,
-                                    tile_x=tp2)
-                                data.attach_planes()
-                                if nofull:
-                                    data.attach_adj_planes()
-                                tp = tp2
+                                state_bytes=_sb(2))
+                        else:
+                            tp2 = tp
+                        if tp2 != tp:
+                            data = EngineData(
+                                consts, vox, comms, mats, dtype=dtype,
+                                pad_z=pad_z, fp32_eps=fp32_eps,
+                                tile_x=tp2)
+                            data.attach_planes()
+                            if nofull:
+                                data.attach_adj_planes()
+                            tp = tp2
+                        if want is not None:
+                            data.tb = want[0]
                         tile_x = tp
                         self.data = data
             else:
@@ -729,17 +784,25 @@ class JaxEngine:
             from pffdtd_tpu.engine.pallas_pair import pick_tile_pair
 
             tile_x = pick_tile_pair(Nyp, Nzp, adj_bytes=adjb)
+        elif backend == "pallas_tb" and tile_x is None:
+            from pffdtd_tpu.engine.pallas_tb import pick_tile_tb
+
+            tb = int(_os.environ.get("PFFDTD_TB", "4"))
+            tile_x = pick_tile_tb(Nyp, Nzp, tb, adj_bytes=adjb, min_tx=3)
+            assert tile_x, "no TX fits the TB-stage VMEM rings"
         self.backend = backend
-        pal = backend in ("pallas", "pallas_pair")
+        pal = backend in ("pallas", "pallas_pair", "pallas_tb")
         if self.data is None:
             self.data = EngineData(consts, vox, comms, mats, dtype=dtype,
                                    pad_z=pad_z, fp32_eps=fp32_eps,
                                    tile_x=tile_x if pal else None,
                                    boundary_kernel=(backend == "pallas"))
-            if backend == "pallas_pair":
+            if backend in ("pallas_pair", "pallas_tb"):
                 assert self.data.attach_planes() == 0, \
-                    "pair kernel requires full axis-plane boundary coverage"
+                    "fused kernels require full axis-plane boundary coverage"
                 self.data.attach_adj_planes()
+                if backend == "pallas_tb":
+                    self.data.tb = int(_os.environ.get("PFFDTD_TB", "4"))
         self.energy_on = energy_on
         self._folder = folder
         self.Nt = self.data.Nt
@@ -748,41 +811,46 @@ class JaxEngine:
         # device-resident once: repeated run() calls must not re-upload
         self._step_consts = jax.tree.map(jnp.asarray, step_consts)
 
+        # steps grouped per scan iteration: the leapfrog rotates (u0, u1)
+        # -> (u1, unew), and a while-loop carry slot must reuse its own
+        # buffer, so a single-step body forces XLA to COPY the full grid
+        # (u1 -> slot 0) every step.  After an even number of steps each
+        # field is back in its original slot (unew lands in the donated
+        # buffer via the kernel's output aliasing) and the copy vanishes.
+        # The TB kernel advances G = TB steps per call.
+        G = getattr(self.data, "tb", 2) if backend == "pallas_tb" else 2
+        self.step_group = G
+
         @functools.partial(jax.jit, donate_argnums=(0,))
         def run_scan(carry, sigs_T, C):
-            # two steps per scan iteration: the leapfrog rotates (u0, u1) ->
-            # (u1, unew), and a while-loop carry slot must reuse its own
-            # buffer, so a single-step body forces XLA to COPY the full grid
-            # (u1 -> slot 0) every step.  After two steps each field is back
-            # in its original slot (unew lands in the donated buffer via the
-            # kernel's output aliasing) and the copy disappears.
             n = sigs_T.shape[0]
-            if n % 2:  # callers pad to even; safety net for direct calls
-                if backend != "pallas_pair":
+            if n % G:  # callers pad; safety net for direct calls
+                if backend not in ("pallas_pair", "pallas_tb"):
                     def body(c, x):
                         return step(c, x, C)
 
                     return jax.lax.scan(body, carry, sigs_T)
-                # the pair kernel consumes (2, Ns) signal pairs: zero-pad
-                # the odd tail step and trim the extra output row
+                # the fused kernels consume (G, Ns) signal groups:
+                # zero-pad the tail steps and trim the extra output rows
+                pad = G - n % G
                 sigs_T = jnp.concatenate(
-                    [sigs_T, jnp.zeros_like(sigs_T[:1])], axis=0)
+                    [sigs_T] + [jnp.zeros_like(sigs_T[:1])] * pad, axis=0)
 
-            pairs = sigs_T.reshape(-1, 2, *sigs_T.shape[1:])
+            groups = sigs_T.reshape(-1, G, *sigs_T.shape[1:])
 
-            if backend == "pallas_pair":
-                # the kernel itself advances two steps per call and returns
-                # the (2, Nr) readout pair
-                def body2(c, x2):
-                    return step(c, x2, C)
+            if backend in ("pallas_pair", "pallas_tb"):
+                # the kernel itself advances G steps per call and returns
+                # the (G, Nr) readout rows
+                def bodyg(c, xg):
+                    return step(c, xg, C)
             else:
-                def body2(c, x2):
-                    c, y0 = step(c, x2[0], C)
-                    c, y1 = step(c, x2[1], C)
+                def bodyg(c, xg):
+                    c, y0 = step(c, xg[0], C)
+                    c, y1 = step(c, xg[1], C)
                     return c, jax.tree.map(
                         lambda a, b: jnp.stack((a, b)), y0, y1)
 
-            carry, ys = jax.lax.scan(body2, carry, pairs)
+            carry, ys = jax.lax.scan(bodyg, carry, groups)
             ys = jax.tree.map(
                 lambda a: a.reshape(-1, *a.shape[2:])[:n], ys)
             return carry, ys
@@ -806,7 +874,7 @@ class JaxEngine:
         if self.energy_on:
             return (u0, u1, vh, gh, jnp.zeros(g.shape, d.dtype),
                     jnp.zeros((), d.dtype), jnp.zeros((), d.dtype))
-        if self.backend == "pallas_pair":
+        if self.backend in ("pallas_pair", "pallas_tb"):
             planes = getattr(d, "planes", None)
             vhp, ghp = {}, {}
             if planes is not None:
@@ -859,8 +927,9 @@ class JaxEngine:
             if verbose:
                 print(f"--ENGINE(jax): resumed at step {n0}")
 
+        G = getattr(self, "step_group", 2)
         chunk = chunk or (nt - n0)
-        chunk += chunk % 2  # pair-step scan: keep chunk boundaries even
+        chunk = -(-chunk // G) * G  # keep chunk boundaries group-aligned
         g = d.grid
         npts = g.Nx * g.Ny * g.Nz
         t0 = time.perf_counter()
@@ -870,8 +939,9 @@ class JaxEngine:
             m = min(chunk, nt - n)
             tb = time.perf_counter()
             sl = sigs_all[n:n + m]
-            if m % 2:  # final odd chunk: one padded zero-input step, trimmed
-                sl = np.concatenate([sl, np.zeros_like(sl[:1])])
+            if m % G:  # final partial chunk: zero-input pad steps, trimmed
+                sl = np.concatenate(
+                    [sl, np.zeros((G - m % G, sl.shape[1]), sl.dtype)])
             carry, ys = self._run_scan(carry, jnp.asarray(sl),
                                        self._step_consts)
             ys = jax.tree.map(

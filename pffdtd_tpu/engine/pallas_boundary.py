@@ -393,6 +393,277 @@ def build_boundary_update(bt: BoundaryTiles, sc, n_elements, dtype=jnp.float32,
     return update, node_data
 
 
+def build_boundary_ring(bt: BoundaryTiles, sc, n_elements, dtype=jnp.float32,
+                        interpret: bool = False, ring_k: int = 8,
+                        lookahead: int = 6):
+    """Manual deep-DMA-ring version of the tiled boundary kernel.
+
+    Same math and data contract as build_boundary_update, but the window
+    stream is hand-rolled: Mosaic's automatic BlockSpec pipeline is capped
+    at double buffering, which exposes the full ~2 us HBM latency on every
+    revisited 32-512 KB window block (~68 GB/s effective measured on the
+    real Musikverein, the dominant cost of the fallback engine).  Here up
+    to `ring_k` window DMAs are in flight at once (prefetched `lookahead`
+    tiles ahead via host-precomputed SMEM schedules), which restores the
+    ~335 GB/s Pallas aggregate.  Node-vector and branch-state blocks ride
+    a 2-deep ring at (8, T)-block granularity.
+
+    The processing order is the host-defined tile order, so outputs are
+    bit-identical to the auto-pipelined kernel.
+    """
+    T, WR = bt.T, bt.wr
+    wsize = WR * 128
+    assert n_elements % wsize == 0
+    NW = n_elements // wsize
+    n_tiles = bt.n_tiles
+    assert n_tiles % 8 == 0
+    n_groups = n_tiles // 8
+    NmT = bt.table.shape[0]
+    npdt = np.float32 if dtype == jnp.float32 else np.float64
+    l = npdt(sc.l)
+    lo2 = npdt(sc.lo2)
+    one = npdt(1.0)
+    K = ring_k
+    L = min(lookahead, K - 2)
+
+    # ---- host-precomputed window schedule (all static SMEM arrays)
+    first = bt.first.astype(np.int64)
+    seq_of_tile = (np.cumsum(first) - 1).astype(np.int32)  # window seq per tile
+    first_tiles = np.flatnonzero(first)
+    n_seq = int(first.sum())
+    assert n_seq >= 1
+    seq_win = bt.win_ids[first_tiles].astype(np.int32)     # HBM window per seq
+    # strictly increasing window ids = in-flight reads never overlap the
+    # aliased out-writes behind them
+    assert np.all(np.diff(seq_win) > 0), "window ids must increase"
+    start_at = first_tiles - L
+    n_warm = int((start_at <= 0).sum())                    # started up front
+    w_in_start = np.full(n_tiles, -1, np.int32)
+    for q in range(n_warm, n_seq):
+        w_in_start[start_at[q]] = q
+    # flush window seq[i-1] when tile i opens a new window
+    w_flush = np.full(n_tiles, -1, np.int32)
+    nz = first_tiles[first_tiles > 0]
+    w_flush[nz] = seq_of_tile[nz - 1]
+
+    def kernel(seq_tile, seqw, w_in, w_fl, first_s,
+               uw, u2b_in, rows, lanes, ssaf, mat, table, vh1, gh1,
+               out_w, ub_o, vh0_o, gh_o):
+        def body(wbuf, nb, st, ob, so, sem_win_in, sem_win_out,
+                 sem_nb, sem_st, sem_ob, sem_so):
+            # wbuf: (K, WR, 128) window ring; nb: (2, 5, 8, T) node-vector
+            # ring (u2b|rows|lanes|ssaf|mat as f32/int reinterpreted rows);
+            # st: (2, 2, MMb, 8T) vh/gh ring; ob: (2, 8, T) ub out ring;
+            # so: (2, 2, MMb, 8T) vh0/gh out ring
+
+            def win_in(q):
+                return pltpu.make_async_copy(
+                    uw.at[seqw[q]], wbuf.at[jax.lax.rem(jnp.int32(q), jnp.int32(K))],
+                    sem_win_in.at[jax.lax.rem(jnp.int32(q), jnp.int32(K))])
+
+            def win_out(q):
+                return pltpu.make_async_copy(
+                    wbuf.at[jax.lax.rem(jnp.int32(q), jnp.int32(K))], out_w.at[seqw[q]],
+                    sem_win_out.at[jax.lax.rem(jnp.int32(q), jnp.int32(K))])
+
+            def grp_in(g):
+                s = g % 2
+                return [
+                    pltpu.make_async_copy(u2b_in.at[pl.ds(g * 8, 8)],
+                                          nb.at[s, 0], sem_nb.at[s, 0]),
+                    pltpu.make_async_copy(rows.at[pl.ds(g * 8, 8)],
+                                          nb.at[s, 1], sem_nb.at[s, 1]),
+                    pltpu.make_async_copy(lanes.at[pl.ds(g * 8, 8)],
+                                          nb.at[s, 2], sem_nb.at[s, 2]),
+                    pltpu.make_async_copy(ssaf.at[pl.ds(g * 8, 8)],
+                                          nb.at[s, 3], sem_nb.at[s, 3]),
+                    pltpu.make_async_copy(mat.at[pl.ds(g * 8, 8)],
+                                          nb.at[s, 4], sem_nb.at[s, 4]),
+                    pltpu.make_async_copy(
+                        vh1.at[:, pl.ds(g * 8 * T, 8 * T)],
+                        st.at[s, 0], sem_st.at[s, 0]),
+                    pltpu.make_async_copy(
+                        gh1.at[:, pl.ds(g * 8 * T, 8 * T)],
+                        st.at[s, 1], sem_st.at[s, 1]),
+                ]
+
+            def grp_out(g):
+                s = g % 2
+                return [
+                    pltpu.make_async_copy(ob.at[s],
+                                          ub_o.at[pl.ds(g * 8, 8)],
+                                          sem_ob.at[s]),
+                    pltpu.make_async_copy(
+                        so.at[s, 0], vh0_o.at[:, pl.ds(g * 8 * T, 8 * T)],
+                        sem_so.at[s, 0]),
+                    pltpu.make_async_copy(
+                        so.at[s, 1], gh_o.at[:, pl.ds(g * 8 * T, 8 * T)],
+                        sem_so.at[s, 1]),
+                ]
+
+            # warm-up: first windows + first node group
+            for q in range(min(n_warm, n_seq)):
+                win_in(q).start()
+            for c in grp_in(0):
+                c.start()
+
+            def tile_step(i, g, j):
+                """Process tile i = 8g + j against its resident window."""
+                q_in = w_in[i]
+
+                @pl.when(q_in >= 0)
+                def _():
+                    @pl.when(q_in >= K)
+                    def _():
+                        win_out(q_in - K).wait()
+                    win_in(q_in).start()
+
+                qf = w_fl[i]
+
+                @pl.when(qf >= 0)
+                def _():
+                    win_out(qf).start()
+
+                q = seq_tile[i]
+                qk = jax.lax.rem(jnp.int32(q), jnp.int32(K))
+
+                @pl.when(first_s[i] == 1)
+                def _():
+                    win_in(q).wait()
+
+                s = g % 2
+                win = wbuf[qk]                        # (WR, 128)
+                rr = rows_i32(s, j)
+                ln = lanes_i32(s, j)
+                G = (jax.lax.broadcasted_iota(jnp.int32, (T, WR), 1)
+                     == rr[:, None]).astype(dtype)
+                Lm = (jax.lax.broadcasted_iota(jnp.int32, (T, 128), 1)
+                      == ln[:, None]).astype(dtype)
+                picked = _dot_onehot_exact(G, win, dtype)     # (T, 128)
+                ubv = jnp.sum(picked * Lm, -1)
+                u2b = nb[s, 0, j]
+
+                M = (jax.lax.broadcasted_iota(jnp.int32, (T, NmT), 1)
+                     == mat_i32(s, j)[:, None]).astype(dtype)
+                co = _dot_onehot_exact(M, table[...], dtype)
+                b = co[:, 0 * MMb:1 * MMb].T
+                bd = co[:, 1 * MMb:2 * MMb].T
+                bDh = co[:, 2 * MMb:3 * MMb].T
+                bFh = co[:, 3 * MMb:4 * MMb].T
+                beta = co[:, 4 * MMb]
+
+                sa = nb[s, 3, j]
+                vh = st[s, 0, :, j * T:(j + 1) * T]   # (MMb, T)
+                gh = st[s, 1, :, j * T:(j + 1) * T]
+                lo2Kbg = lo2 * sa * beta
+                ub_new = ubv - l * sa * jnp.sum(2.0 * bDh * vh - bFh * gh, 0)
+                ub_new = (ub_new + lo2Kbg * u2b) / (one + lo2Kbg)
+                vh0 = b * (ub_new - u2b)[None, :] + bd * vh - 2.0 * bFh * gh
+                gh_new = gh + 0.5 * (vh0 + vh)
+
+                delta = ub_new - ubv
+                scat = _dot_onehot_exact(G.T, delta[:, None] * Lm, dtype)
+                wbuf[qk] = win + scat
+                ob[s, j] = ub_new
+                so[s, 0, :, j * T:(j + 1) * T] = vh0
+                so[s, 1, :, j * T:(j + 1) * T] = gh_new
+
+            def rows_i32(s, j):
+                return nb[s, 1, j].astype(jnp.int32)
+
+            def lanes_i32(s, j):
+                return nb[s, 2, j].astype(jnp.int32)
+
+            def mat_i32(s, j):
+                return nb[s, 4, j].astype(jnp.int32)
+
+            def group(g, _):
+                @pl.when(g + 1 < n_groups)
+                def _():
+                    for c in grp_in(g + 1):
+                        c.start()
+
+                @pl.when(g >= 2)
+                def _():
+                    for c in grp_out(g - 2):
+                        c.wait()
+                for c in grp_in(g):
+                    c.wait()
+                for j in range(8):
+                    tile_step(g * 8 + j, g, j)
+                for c in grp_out(g):
+                    c.start()
+
+            jax.lax.fori_loop(0, n_groups, group, None, unroll=False)
+
+            # drain: final window(s) + trailing group outs
+            win_out(n_seq - 1).start()
+            for q in range(max(0, n_seq - K), n_seq):
+                win_out(q).wait()
+            for g in range(max(0, n_groups - 2), n_groups):
+                for c in grp_out(g):
+                    c.wait()
+
+        pl.run_scoped(
+            body,
+            wbuf=pltpu.VMEM((K, WR, 128), dtype),
+            nb=pltpu.VMEM((2, 5, 8, T), dtype),
+            st=pltpu.VMEM((2, 2, MMb, 8 * T), dtype),
+            ob=pltpu.VMEM((2, 8, T), dtype),
+            so=pltpu.VMEM((2, 2, MMb, 8 * T), dtype),
+            sem_win_in=pltpu.SemaphoreType.DMA((K,)),
+            sem_win_out=pltpu.SemaphoreType.DMA((K,)),
+            sem_nb=pltpu.SemaphoreType.DMA((2, 5)),
+            sem_st=pltpu.SemaphoreType.DMA((2, 2)),
+            sem_ob=pltpu.SemaphoreType.DMA((2,)),
+            sem_so=pltpu.SemaphoreType.DMA((2, 2)),
+        )
+
+    node_data = {
+        # node vectors as f32 rows (int fields hold small exact integers;
+        # the kernel casts back) so one homogeneous (2, 5, 8, T) VMEM ring
+        # serves all five
+        "rows": bt.rows.reshape(n_tiles, T).astype(np.float32),
+        "lanes": bt.lanes.reshape(n_tiles, T).astype(np.float32),
+        "ssaf": bt.ssaf.reshape(n_tiles, T),
+        "mat": bt.mat.reshape(n_tiles, T).astype(np.float32),
+        "table": bt.table, "win_ids": bt.win_ids,
+        "seq_tile": seq_of_tile, "seq_win": seq_win,
+        "w_in": w_in_start, "w_flush": w_flush,
+        "first": bt.first,
+    }
+
+    def update(unew, u2b, vh1, gh1, nd):
+        shape = unew.shape
+        uw = unew.reshape(NW, WR, 128)
+        smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+        anyb = pl.BlockSpec(memory_space=pl.ANY)
+        out_w, ub, vh0, gh_new = pl.pallas_call(
+            kernel,
+            out_shape=[
+                jax.ShapeDtypeStruct((NW, WR, 128), dtype),
+                jax.ShapeDtypeStruct((n_tiles, T), dtype),
+                jax.ShapeDtypeStruct((MMb, n_tiles * T), dtype),
+                jax.ShapeDtypeStruct((MMb, n_tiles * T), dtype),
+            ],
+            in_specs=[smem] * 5 + [anyb] * 6
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] + [anyb] * 2,
+            out_specs=[anyb] * 4,
+            # out windows alias unew; u2b/vh/gh alias their inputs
+            input_output_aliases={5: 0, 6: 1, 12: 2, 13: 3},
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True,
+                vmem_limit_bytes=110 * 1024 * 1024),
+            interpret=interpret,
+        )(nd["seq_tile"], nd["seq_win"], nd["w_in"],
+          nd["w_flush"], nd["first"],
+          uw, u2b.reshape(n_tiles, T), nd["rows"], nd["lanes"], nd["ssaf"],
+          nd["mat"], nd["table"], vh1, gh1)
+        return out_w.reshape(shape), ub.reshape(-1), vh0, gh_new
+
+    return update, node_data
+
+
 # ---------------------------------------------------------------- dense mode
 # The gather-free redesign: instead of compacting nodes into tiles and paying
 # O(T*WR*128) one-hot MXU gathers/scatters per tile, view the grid as
@@ -781,15 +1052,21 @@ class BoundaryPlanes:
     x: BoundaryXPlanes | None
     n_stray: int         # lossy nodes NOT covered by any plane family
 
-    def state_bytes_per_row(self, itemsize=4):
-        """VMEM scratch bytes per TX row (6 state ring copies + 3 ssaf)."""
+    def state_bytes_per_row(self, itemsize=4, tb: int = 2):
+        """VMEM scratch bytes per TX row for a TB-stage kernel.
+
+        Per family: vh+gh level rings = 2 arrays x (tb+1) levels x 2
+        slots, plus tb+1 ssaf slots (the pair kernel's 3-level/3-slot
+        layout is the tb=2 instance, counted at its worst case)."""
+        copies = 4 * (tb + 1)
+        nsf = tb + 1
         b = 0
         if self.z is not None:
             W = self.z.ssaf.shape[2]
-            b += self.z.P * (6 * self.z.MZ * W + 3 * W) * itemsize
+            b += self.z.P * (copies * self.z.MZ * W + nsf * W) * itemsize
         if self.y is not None:
             W = self.y.ssaf.shape[2]
-            b += self.y.P * (6 * self.y.MZ * W + 3 * W) * itemsize
+            b += self.y.P * (copies * self.y.MZ * W + nsf * W) * itemsize
         return b
 
 
@@ -1047,17 +1324,25 @@ def partition_boundary_hybrid(bnl_ixyz, ssaf, mat_bnl, mat_coeffs,
 
 
 def build_boundary_hybrid(bh: BoundaryHybrid, sc, n_elements,
-                          dtype=jnp.float32, interpret: bool = False):
+                          dtype=jnp.float32, interpret: bool = False,
+                          ring: bool | None = None):
     """Returns (update, node_data): update(unew, u2b, vh1, gh1, nd) ->
     (unew', u2b_new, vh0, gh_new) where u2b/vh/gh are {"d": ..., "t": ...}
-    pytrees matching bh.state_shapes()."""
+    pytrees matching bh.state_shapes().
+
+    ring: use the manual deep-DMA-ring tiled kernel (bit-identical math;
+    ~5x the window-stream bandwidth of the depth-2 auto pipeline).
+    Default on; PFFDTD_BOUNDARY_RING=0 reverts to the auto pipeline."""
+    if ring is None:
+        ring = os.environ.get("PFFDTD_BOUNDARY_RING", "1") == "1"
     upd_d = upd_t = None
     node_data = {}
     if bh.dense is not None:
         upd_d, node_data["d"] = build_boundary_dense(
             bh.dense, sc, n_elements, dtype=dtype, interpret=interpret)
     if bh.tiles is not None:
-        upd_t, node_data["t"] = build_boundary_update(
+        build_t = build_boundary_ring if ring else build_boundary_update
+        upd_t, node_data["t"] = build_t(
             bh.tiles, sc, n_elements, dtype=dtype, interpret=interpret)
 
     def update(unew, u2b, vh1, gh1, nd):

@@ -1,0 +1,990 @@
+"""Deep temporally-blocked Pallas TPU kernel: TB leapfrog steps per sweep.
+
+Generalises the pair kernel (pallas_pair.py, TB=2) to TB in {2..8}: one
+sweep over x-row tiles advances (u^{n-1}, u^n) -> (u^{n+TB-1}, u^{n+TB}),
+reading u^n / u^{n-1} / adjacency ONCE and writing the two final fields
+ONCE.  HBM bytes per step shrink by ~TB/2 vs the pair kernel (~4.5 grids +
+overheads per TB steps), which matters because the v5e pair kernel is
+DMA-floor-bound (measured ~460 GB/s of 819 with everything ablated).
+
+Pipeline (stages run in ascending order inside one visit t):
+
+    stage 1 (step n)      : F2 rows of tile t        = f(u1 slab, u0)
+    stage s (step n+s-1)  : F[s+1] rows of tile t-s+1 = f(F[s] slab, F[s-1])
+    stage TB (step n+TB-1): output rows of tile t-TB+1
+
+Every stage trails its producer by exactly one tile, so each intermediate
+field lives only in a 3-deep VMEM ring of TX-row blocks — never in HBM.
+All per-step physics is applied in-kernel while the rows are resident:
+halo mirror flips, the adjacency-masked stencil + leapfrog (or the
+unmasked bulk + static-plane masked fix-ups in adj-planes mode), the
+Engquist-Majda ABC, the frequency-dependent impedance ODE on z/y/x-normal
+boundary planes, per-stage source injection, and per-stage receiver taps
+for the intermediate steps that never reach HBM (final-field taps stay
+outside the kernel, as in the pair engine).
+
+DANGER - aliasing: F[TB] overwrites u0's HBM buffer and F[TB+1]
+overwrites u1's.  The schedule keeps every read ahead of the aliased
+writes: at visit t the F[TB] ring flush covers rows <= (t-TB+3)*TX while
+visit t+1's u0 prefetch reads rows >= (t+1)*TX+1 (TB >= 2 keeps the
+inequality strict); F[TB+1] staging flushes rows <= (t-TB+2)*TX against
+u1 slab reads >= (t+1)*TX.  Plane states alias the same way with writes
+TB-1 tiles behind the prefetched reads.
+
+Ring-lifetime cheat-sheet (slots indexed by TILE number):
+    u1 slab        3 slots   (stencil stage 1, prev stage 2)
+    u0 blocks      2 slots
+    F[j] rings     3 slots   (stencil stage j at +-1 tile, prev stage j+1)
+    adjacency      TB+1 slots (read by every stage, masked mode)
+    z/y ssaf       TB+1 slots
+    z/y ODE states TB+1 levels x 2 slots (level l = state after l steps)
+
+Reference anchors: leapfrog + rigid update gpu_engine.h:220-348; ABC
+cpu_engine.h:144-172,224-229; boundary ODE cpu_engine.h:362-405; the
+air/boundary dual-stream overlap this kernel replaces: gpu_engine.h:964-1056.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pffdtd_tpu.engine.pallas_pair import AdjPlanes
+from pffdtd_tpu.voxelizer.vox import CART_VECTORS, FCC_VECTORS
+
+_NO_ROLLS = bool(os.environ.get("PFFDTD_ABLATE", "").count("rolls"))
+
+
+def _roll(x, shift, axis):
+    if _NO_ROLLS:   # perf ablation only - numerically wrong
+        return x
+    return pltpu.roll(x, shift % x.shape[axis], axis=axis)
+
+
+def build_fused_tb(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 4,
+                   TB: int = 4, interpret: bool = False, in_pts=None,
+                   out_pts=None, planes=None,
+                   adj_planes: AdjPlanes | None = None):
+    """Returns fn(u1, u0, adj, sigTB, states, pconsts) ->
+    (uN1, uN, taps, new_states).
+
+    uN1 = u^{n+TB} (aliases u1's buffer), uN = u^{n+TB-1} (aliases u0's).
+    sigTB: (TB, Nin) SMEM source samples, one row per stage.  taps:
+    (max(TB-2, 1), Nout) receiver values of the INTERMEDIATE steps
+    u^{n+1}..u^{n+TB-2} (row s-1 = step n+s); the caller taps uN/uN1 for
+    the final two steps.  out_pts: (Nout, 3) STATIC receiver-node padded
+    coordinates (required when TB > 2 and receivers exist).
+
+    planes: optional BoundaryPlanes (z/y/x impedance families);
+    adj_planes: optional AdjPlanes cover -> unmasked bulk, `adj` is the
+    {"z"/"y"/"x": int32} per-plane adjacency dict instead of the grid.
+    Single-device only (the sharded engine stays on the pair kernel).
+    """
+    assert 2 <= TB <= 8, TB
+    Nx, Ny, Nz = grid.Nx, grid.Ny, grid.Nz
+    Nxp, Nyp, Nzp = grid.shape
+    folded = grid.folded
+    VV = (FCC_VECTORS if fcc else CART_VECTORS).astype(np.int64)
+    NN = VV.shape[0]
+
+    NXT = -(-(Nx - 2) // TX)
+    assert Nxp >= NXT * TX + 2, (Nxp, NXT, TX)
+    NV = NXT + TB - 1           # visits
+    RD = TB + 1                 # deep-ring depth (adj / ssaf)
+
+    npdt = np.float32 if dtype == jnp.float32 else np.float64
+    a2 = npdt(sc.a2)
+    sl2 = npdt(sc.sl2)
+    two = npdt(2.0)
+    l_ = sc.l
+    lo2 = npdt(sc.lo2)
+    lv = npdt(sc.l)
+    half = npdt(0.5)
+    abc_w = [npdt(1.0 / (1.0 + l_ * q)) for q in range(4)]
+
+    in_pts = np.zeros((0, 3), np.int64) if in_pts is None else \
+        np.asarray(in_pts, np.int64)
+    Nin = int(in_pts.shape[0])
+    out_pts = np.zeros((0, 3), np.int64) if out_pts is None else \
+        np.asarray(out_pts, np.int64)
+    Nout = int(out_pts.shape[0])
+    NTAP = max(TB - 2, 1)
+    do_taps = TB > 2 and Nout > 0
+
+    zpl = planes.z if planes is not None else None
+    ypl = planes.y if planes is not None else None
+    xpl = planes.x if planes is not None else None
+    PZ = zpl.P if zpl is not None else 0
+    PY = ypl.P if ypl is not None else 0
+    PX = xpl.P if xpl is not None else 0
+    zp_lanes = [int(z) for z in zpl.zp] if PZ else []
+    yp_subl = [int(y) for y in ypl.yp] if PY else []
+    xp_rows = [int(x) for x in xpl.xp] if PX else []
+    MZ = zpl.MZ if PZ else (ypl.MZ if PY else (xpl.MZ if PX else 8))
+    Nyw = zpl.ssaf.shape[2] if PZ else 128
+    CY = min(xpl.CY, Nyp) if PX else 8
+    if PX:
+        assert all(1 <= x <= Nx - 2 for x in xp_rows), xp_rows
+
+    ap = adj_planes
+    NOFULL = ap is not None
+    za_lanes = [int(z) for z in ap.z_lanes] if NOFULL else []
+    ya_subl = [int(y) for y in ap.y_subl] if NOFULL else []
+    xa_rows = [int(x) for x in ap.x_rows] if NOFULL else []
+    AZ, AY, AX = len(za_lanes), len(ya_subl), len(xa_rows)
+    cfull = npdt(two - sl2 * npdt(NN))
+    ABLATE = set(filter(None,
+                        os.environ.get("PFFDTD_ABLATE", "").split(",")))
+    CYA = min(64, Nyp)
+    adt = jnp.uint16 if NN == 12 else jnp.uint8
+
+    def kernel(*refs):
+        it = iter(refs)
+        sig = next(it)                     # SMEM (TB, max(Nin, 1))
+        u1_h = next(it)
+        u0_h = next(it)
+        adj_h = None if NOFULL else next(it)
+        zadj_h = next(it) if AZ else None  # (Nxp, PZA, Wy) i32
+        yadj_h = next(it) if AY else None  # (Nxp, PYA, Nzp) i32
+        xadj_h = next(it) if AX else None  # (PXA, Nyp, Nzp) i32
+        zvh_h = next(it) if PZ else None   # (Nxp, PZ, MZ, Nyw)
+        zgh_h = next(it) if PZ else None
+        zsf_h = next(it) if PZ else None   # (Nxp, PZ, Nyw)
+        zco = next(it) if PZ else None     # VMEM (PZ, 5*MZ, Nyw)
+        yvh_h = next(it) if PY else None   # (Nxp, PY, MZ, Nzp)
+        ygh_h = next(it) if PY else None
+        ysf_h = next(it) if PY else None   # (Nxp, PY, Nzp)
+        yco = next(it) if PY else None     # VMEM (PY, 5*MZ, Nzp)
+        xvh_h = next(it) if PX else None   # (PX, Nyp, MZ, Nzp)
+        xgh_h = next(it) if PX else None
+        xsf_h = next(it) if PX else None   # (PX, Nyp, 8, Nzp)
+        xco = next(it) if PX else None     # VMEM (PX, 5*MZ, Nzp)
+        uN1_h = next(it)                   # out u^{n+TB}  (aliases u1)
+        uN_h = next(it)                    # out u^{n+TB-1} (aliases u0)
+        taps_o = next(it) if do_taps else None   # SMEM (NTAP, Nout)
+        zvo_h = next(it) if PZ else None
+        zgo_h = next(it) if PZ else None
+        yvo_h = next(it) if PY else None
+        ygo_h = next(it) if PY else None
+        xvo_h = next(it) if PX else None
+        xgo_h = next(it) if PX else None
+
+        def body(slab, u0b, adjb, rings, uNb, asm,
+                 zv, zg, zsf, yv, yg, ysf, xv, xg, xsb,
+                 zadr, yadr, xadb,
+                 sem_u1, sem_u0, sem_adj, sem_oN, sem_oF, sem_pre,
+                 sem_zin, sem_zout, sem_zsf, sem_yin, sem_yout, sem_ysf,
+                 sem_xi, sem_xo, sem_az, sem_ay, sem_ax):
+            # rings: tuple of 3-deep (3, TX, Nyp, Nzp) rings for F[2..TB]
+            # (ring index j-2 holds field F[j]); uNb: (2, TX) staging of
+            # F[TB+1]; asm: tuple of (TX+2) assembly slabs for stages 2..TB
+            # zv/zg: tuples of TB+1 state levels, each (2, TX, PZ, MZ, Nyw)
+
+            def z_in(t):
+                rs = t * TX + 1
+                return [
+                    pltpu.make_async_copy(zvh_h.at[pl.ds(rs, TX)],
+                                          zv[0].at[t % 2],
+                                          sem_zin.at[t % 2, 0]),
+                    pltpu.make_async_copy(zgh_h.at[pl.ds(rs, TX)],
+                                          zg[0].at[t % 2],
+                                          sem_zin.at[t % 2, 1]),
+                    pltpu.make_async_copy(zsf_h.at[pl.ds(rs, TX)],
+                                          zsf.at[t % RD],
+                                          sem_zsf.at[t % RD]),
+                ]
+
+            def z_out(tt):
+                rs = tt * TX + 1
+                return [
+                    pltpu.make_async_copy(zv[TB].at[tt % 2],
+                                          zvo_h.at[pl.ds(rs, TX)],
+                                          sem_zout.at[tt % 2, 0]),
+                    pltpu.make_async_copy(zg[TB].at[tt % 2],
+                                          zgo_h.at[pl.ds(rs, TX)],
+                                          sem_zout.at[tt % 2, 1]),
+                ]
+
+            def y_in(t):
+                rs = t * TX + 1
+                return [
+                    pltpu.make_async_copy(yvh_h.at[pl.ds(rs, TX)],
+                                          yv[0].at[t % 2],
+                                          sem_yin.at[t % 2, 0]),
+                    pltpu.make_async_copy(ygh_h.at[pl.ds(rs, TX)],
+                                          yg[0].at[t % 2],
+                                          sem_yin.at[t % 2, 1]),
+                    pltpu.make_async_copy(ysf_h.at[pl.ds(rs, TX)],
+                                          ysf.at[t % RD],
+                                          sem_ysf.at[t % RD]),
+                ]
+
+            def y_out(tt):
+                rs = tt * TX + 1
+                return [
+                    pltpu.make_async_copy(yv[TB].at[tt % 2],
+                                          yvo_h.at[pl.ds(rs, TX)],
+                                          sem_yout.at[tt % 2, 0]),
+                    pltpu.make_async_copy(yg[TB].at[tt % 2],
+                                          ygo_h.at[pl.ds(rs, TX)],
+                                          sem_yout.at[tt % 2, 1]),
+                ]
+
+            def grid_in(t):
+                rs = t * TX
+                cps = [
+                    pltpu.make_async_copy(u1_h.at[pl.ds(rs, TX + 2)],
+                                          slab.at[t % 3], sem_u1.at[t % 3]),
+                    pltpu.make_async_copy(u0_h.at[pl.ds(rs + 1, TX)],
+                                          u0b.at[t % 2], sem_u0.at[t % 2]),
+                ]
+                if not NOFULL:
+                    cps.append(
+                        pltpu.make_async_copy(adj_h.at[pl.ds(rs + 1, TX)],
+                                              adjb.at[t % RD],
+                                              sem_adj.at[t % RD]))
+                if AZ:
+                    cps.append(
+                        pltpu.make_async_copy(zadj_h.at[pl.ds(rs + 1, TX)],
+                                              zadr.at[t % RD],
+                                              sem_az.at[t % RD]))
+                if AY:
+                    cps.append(
+                        pltpu.make_async_copy(yadj_h.at[pl.ds(rs + 1, TX)],
+                                              yadr.at[t % RD],
+                                              sem_ay.at[t % RD]))
+                return cps
+
+            def start_in(t):
+                cps = grid_in(t)
+                if PZ:
+                    cps += z_in(t)
+                if PY:
+                    cps += y_in(t)
+                for c in cps:
+                    c.start()
+
+            def wait_in(t):
+                cps = grid_in(t)
+                if PZ:
+                    cps += z_in(t)
+                if PY:
+                    cps += y_in(t)
+                for c in cps:
+                    c.wait()
+
+            def outN_copy(tt):
+                # F[TB] flush: its ring slot keeps serving stage TB reads
+                # (DMA only reads); wait before the slot is REwritten
+                return pltpu.make_async_copy(
+                    rings[TB - 2].at[tt % 3],
+                    uN_h.at[pl.ds(tt * TX + 1, TX)], sem_oN.at[tt % 3])
+
+            def outF_copy(tt):
+                return pltpu.make_async_copy(
+                    uNb.at[tt % 2], uN1_h.at[pl.ds(tt * TX + 1, TX)],
+                    sem_oF.at[tt % 2])
+
+            # output rows the tile loop never writes (global halo row 0 and
+            # the x padding tail) are filled from the pre-update fields
+            tail0 = NXT * TX + 1
+            pre = [
+                pltpu.make_async_copy(u0_h.at[pl.ds(0, 1)],
+                                      uN_h.at[pl.ds(0, 1)], sem_pre.at[0]),
+                pltpu.make_async_copy(u0_h.at[pl.ds(tail0, Nxp - tail0)],
+                                      uN_h.at[pl.ds(tail0, Nxp - tail0)],
+                                      sem_pre.at[1]),
+                pltpu.make_async_copy(u1_h.at[pl.ds(0, 1)],
+                                      uN1_h.at[pl.ds(0, 1)], sem_pre.at[2]),
+                pltpu.make_async_copy(u1_h.at[pl.ds(tail0, Nxp - tail0)],
+                                      uN1_h.at[pl.ds(tail0, Nxp - tail0)],
+                                      sem_pre.at[3]),
+            ]
+            for c in pre:
+                c.start()
+
+            start_in(0)
+
+            def apply_flips(ref, base_t):
+                """Mirror halo flips on a (TX+2, Nyp, Nzp) slab ref whose
+                local row 0 is global row base_t*TX."""
+                if "flips" in ABLATE:
+                    return
+                ref[:, :, 0] = ref[:, :, 2]
+                ref[:, :, Nz - 1] = ref[:, :, Nz - 3]
+                ref[:, 0, :] = ref[:, 2, :]
+                if folded:
+                    ref[:, Ny - 1, :] = ref[:, Ny - 2, :]
+                else:
+                    ref[:, Ny - 1, :] = ref[:, Ny - 3, :]
+
+                @pl.when(base_t == 0)
+                def _():
+                    ref[0] = ref[2]
+
+                j = Nx - 1 - base_t * TX
+
+                @pl.when((j >= 2) & (j <= TX + 1))
+                def _():
+                    ref[pl.ds(j, 1)] = ref[pl.ds(j - 2, 1)]
+
+            HY = -(-Nyp // 8)
+            HY = -(-HY // 8) * 8
+
+            def stencil_into(write, read_src, read_adj, read_prev):
+                """Masked stencil + leapfrog, y-chunked (see pallas_pair:
+                the dz-grouping rule and chunked temporaries are identical)."""
+                groups: dict[int, list[int]] = {}
+                for k in range(NN):
+                    groups.setdefault(int(VV[k][2]), []).append(k)
+                for yc in range(0, Nyp, HY):
+                    hy = min(HY, Nyp - yc)
+                    a32 = None if NOFULL else \
+                        read_adj(yc, hy).astype(jnp.int32)
+                    u1c = read_src(1, yc, hy)
+                    acc = None
+                    K = None
+                    for dz in sorted(groups):
+                        ks = groups[dz]
+                        gro = bool(dz) and len(ks) >= 3
+                        a32g = None if NOFULL else \
+                            (_roll(a32, dz, 2) if gro else a32)
+                        gacc = None
+                        for k in ks:
+                            dx, dy, _ = VV[k]
+                            if dy == 0 or (yc + dy >= 0
+                                           and yc + hy + dy <= Nyp):
+                                nb = read_src(1 + dx, yc + dy, hy)
+                            else:
+                                nb = _roll(read_src(1 + dx, yc, hy),
+                                           -dy, 1)
+                            if dz and not gro:
+                                nb = _roll(nb, -dz, 2)
+                            if NOFULL:
+                                t_k = nb
+                            else:
+                                bit = ((a32g >> k) & 1).astype(dtype)
+                                t_k = bit * nb
+                                if gro:
+                                    bit = ((a32 >> k) & 1).astype(dtype)
+                                K = bit if K is None else K + bit
+                            gacc = t_k if gacc is None else gacc + t_k
+                        if gro:
+                            gacc = _roll(gacc, -dz, 2)
+                        acc = gacc if acc is None else acc + gacc
+                    diag = cfull if NOFULL else (two - sl2 * K)
+                    write(yc, hy,
+                          diag * u1c - read_prev(yc, hy) + a2 * acc)
+
+            def _masked_val(a32, rd_nb, u1c, prev):
+                """Full masked stencil on one plane sheet (plain k order)."""
+                acc = None
+                K = None
+                for k in range(NN):
+                    dx, dy, dz = VV[k]
+                    nb = rd_nb(k, dx, dy, dz)
+                    bit = ((a32 >> k) & 1).astype(dtype)
+                    t_k = bit * nb
+                    acc = t_k if acc is None else acc + t_k
+                    K = bit if K is None else K + bit
+                return (two - sl2 * K) * u1c - prev + a2 * acc
+
+            def adj_fixup(outr, oslot, rdfull, rd, rdprev, aslot):
+                """Masked-stencil rewrite of the z/y cover planes (sheets
+                cached across planes, see pallas_pair.adj_fixup)."""
+                sheets = {}
+
+                def sheet(z):
+                    if z not in sheets:
+                        sheets[z] = rdfull(z)
+                    return sheets[z]
+
+                for p in range(AZ):
+                    zl = za_lanes[p]
+                    a32 = zadr[aslot, :, p, :][:, :Nyp]     # (TX, Nyp)
+
+                    def rdz(k, dx, dy, dz, zl=zl):
+                        nb = sheet(zl + dz)[1 + dx:1 + dx + TX, :]
+                        return _roll(nb, -dy, 1) if dy else nb
+
+                    outr[oslot, :, :, zl] = _masked_val(
+                        a32, rdz, sheet(zl)[1:1 + TX, :],
+                        rdprev(slice(None), zl))
+                for p in range(AY):
+                    yl = ya_subl[p]
+                    a32 = yadr[aslot, :, p, :]              # (TX, Nzp)
+
+                    def rdy(k, dx, dy, dz, yl=yl):
+                        nb = rd(dx, yl + dy, slice(None))
+                        return _roll(nb, -dz, 1) if dz else nb
+
+                    outr[oslot, :, yl, :] = _masked_val(
+                        a32, rdy, rd(0, yl, slice(None)),
+                        rdprev(yl, slice(None)))
+
+            def adj_fixup_xrow(outr, oslot, r, p, rdrow, rdprevrow):
+                """Masked-stencil rewrite of one x cover row (y-chunked)."""
+                cp = pltpu.make_async_copy(xadj_h.at[p], xadb, sem_ax.at[0])
+                cp.start()
+                cp.wait()
+                for yc in range(0, Nyp, CYA):
+                    cy = min(CYA, Nyp - yc)
+                    a32 = xadb[yc:yc + cy, :]                # (cy, Nzp)
+
+                    def rdx(k, dx, dy, dz, yc=yc, cy=cy):
+                        if dy == 0 or (yc + dy >= 0
+                                       and yc + cy + dy <= Nyp):
+                            nb = rdrow(dx, slice(yc + dy, yc + cy + dy))
+                        else:
+                            nb = _roll(rdrow(dx, slice(yc, yc + cy)),
+                                       -dy, 0)
+                        return _roll(nb, -dz, 1) if dz else nb
+
+                    outr[oslot, r, yc:yc + cy, :] = _masked_val(
+                        a32, rdx, rdrow(0, slice(yc, yc + cy)),
+                        rdprevrow(slice(yc, yc + cy)))
+
+            def apply_abc(outr, slot, t, read_prev):
+                """Engquist-Majda ABC slices on an output block ref.
+
+                read_prev(rsl, ysl, zsl) returns the pre-update (u^{step-1})
+                rows for tile t; only thin slices of it are read."""
+                if "abc" in ABLATE:
+                    return
+                w1, w2, w3 = abc_w[1], abc_w[2], abc_w[3]
+                gz1 = jax.lax.broadcasted_iota(jnp.int32, (TX, Nzp), 1)
+                zext = ((gz1 == 1) | (gz1 == Nz - 2)).astype(jnp.int32)
+                gx1 = (jax.lax.broadcasted_iota(jnp.int32, (TX, Nzp), 0)
+                       + t * TX + 1)
+                xext = ((gx1 == 1) | (gx1 == Nx - 2)).astype(jnp.int32)
+                ylo = 2
+                yhi = Ny - 1 if folded else Ny - 2
+                y_faces = (1,) if folded else (1, Ny - 2)
+                for yf in y_faces:
+                    q = zext + xext + 1
+                    qf = q.astype(dtype)
+                    w = jnp.where(q == 1, w1, jnp.where(q == 2, w2, w3))
+                    vals = outr[slot, :, yf, :]
+                    pv = read_prev(slice(0, TX), yf, slice(None))
+                    outr[slot, :, yf, :] = (vals + lv * qf * pv) * w
+                gx2 = (jax.lax.broadcasted_iota(
+                    jnp.int32, (TX, yhi - ylo), 0) + t * TX + 1)
+                xext2 = ((gx2 == 1) | (gx2 == Nx - 2)).astype(jnp.int32)
+                for zf in (1, Nz - 2):
+                    q = xext2 + 1
+                    qf = q.astype(dtype)
+                    w = jnp.where(q == 1, w1, w2)
+                    vals = outr[slot, :, ylo:yhi, zf]
+                    pv = read_prev(slice(0, TX), slice(ylo, yhi), zf)
+                    outr[slot, :, ylo:yhi, zf] = (vals + lv * qf * pv) * w
+                for r in range(TX):
+                    gx_r = t * TX + 1 + r
+
+                    @pl.when((gx_r == 1) | (gx_r == Nx - 2))
+                    def _(r=r):
+                        vals = outr[slot, r, ylo:yhi, 2:Nz - 2]
+                        pv = read_prev(r, slice(ylo, yhi), slice(2, Nz - 2))
+                        outr[slot, r, ylo:yhi, 2:Nz - 2] = (
+                            vals + lv * pv) * w1
+
+            def inject(outr, slot, t, stage):
+                """Add the stage's source samples into rows owned by tile
+                t (sources sit in the interior, never on halo rows)."""
+                for i in range(Nin):
+                    gx, gy, gz = (int(v) for v in in_pts[i])
+
+                    @pl.when((gx >= t * TX + 1) & (gx < t * TX + TX + 1))
+                    def _(gx=gx, gy=gy, gz=gz, i=i):
+                        my = jax.lax.broadcasted_iota(
+                            jnp.int32, (1, Nyp, Nzp), 1) == gy
+                        mz = jax.lax.broadcasted_iota(
+                            jnp.int32, (1, Nyp, Nzp), 2) == gz
+                        m = (my & mz).astype(dtype)
+                        r = gx - t * TX - 1
+                        outr[slot, pl.ds(r, 1)] = (
+                            outr[slot, pl.ds(r, 1)] + sig[stage, i] * m)
+
+            def take_taps(outr, slot, t, stage):
+                """Extract receiver-node values of an intermediate step
+                (stage 1..TB-2) into the SMEM taps output.  Coordinates
+                are static; only nodes owned by tile t fire."""
+                for i in range(Nout):
+                    gx, gy, gz = (int(v) for v in out_pts[i])
+
+                    @pl.when((gx >= t * TX + 1) & (gx < t * TX + TX + 1))
+                    def _(gx=gx, gy=gy, gz=gz, i=i):
+                        r = gx - t * TX - 1
+                        taps_o[stage - 1, i] = outr[slot, r, gy, gz]
+
+            def ode(ub, u2b, vh, gh, sa, co):
+                """One impedance-ODE step on dense plane values
+                (cpu_engine.h:362-405 semantics)."""
+                b = co[0 * MZ:1 * MZ]
+                bd = co[1 * MZ:2 * MZ]
+                bDh = co[2 * MZ:3 * MZ]
+                bFh = co[3 * MZ:4 * MZ]
+                beta = co[4 * MZ]
+                lo2Kbg = lo2 * sa * beta
+                ub_new = ub - lv * sa * jnp.sum(
+                    2.0 * bDh * vh - bFh * gh, axis=-2)
+                ub_new = (ub_new + lo2Kbg * u2b) / (1.0 + lo2Kbg)
+                vh0 = (b * (ub_new - u2b)[..., None, :] + bd * vh
+                       - 2.0 * bFh * gh)
+                gh_new = gh + half * (vh0 + vh)
+                return ub_new, vh0, gh_new
+
+            def zplane_stage(outr, slot, read_prev, vin, gin, vout, gout,
+                             sfslot):
+                """z-normal plane ODE on an output block: static lane
+                extraction (zp_lanes are compile-time constants)."""
+                if "ode" in ABLATE or "odez" in ABLATE:
+                    return
+                sa_all = zsf[sfslot]
+                for p in range(PZ):
+                    zl = zp_lanes[p]
+                    ub = outr[slot, :, :, zl]               # (TX, Nyp)
+                    u2b = read_prev(slice(0, TX), slice(None), zl)
+                    if Nyw > Nyp:
+                        zpad = jnp.zeros((TX, Nyw - Nyp), dtype)
+                        ub = jnp.concatenate([ub, zpad], axis=1)
+                        u2b = jnp.concatenate([u2b, zpad], axis=1)
+                    ub_new, vh0, gh_new = ode(ub, u2b, vin[:, p], gin[:, p],
+                                              sa_all[:, p], zco[p])
+                    vout[:, p] = vh0
+                    gout[:, p] = gh_new
+                    outr[slot, :, :, zl] = (ub_new[:, :Nyp]
+                                            if Nyw > Nyp else ub_new)
+
+            def yplane_stage(outr, slot, read_prev, vin, gin, vout, gout,
+                             sfslot):
+                """y-normal plane ODE: static sublane extraction."""
+                if "ode" in ABLATE or "odey" in ABLATE:
+                    return
+                sa_all = ysf[sfslot]
+                for p in range(PY):
+                    yl = yp_subl[p]
+                    ub = outr[slot, :, yl, :]               # (TX, Nzp)
+                    u2b = read_prev(slice(0, TX), yl, slice(None))
+                    ub_new, vh0, gh_new = ode(ub, u2b, vin[:, p], gin[:, p],
+                                              sa_all[:, p], yco[p])
+                    vout[:, p] = vh0
+                    gout[:, p] = gh_new
+                    outr[slot, :, yl, :] = ub_new
+
+            def xplane_pass(outr, oslot, r, p, read_prev_row, first):
+                """x-normal full-row plane ODE for plane p: (CY, MZ, Nzp)
+                y-chunks round-trip HBM per stage (stage 1 reads the input
+                state refs; later stages advance the aliased outputs in
+                place — each stage's chunk stream completes within its
+                visit, one visit before the next stage's reads)."""
+                if "ode" in ABLATE or "odex" in ABLATE:
+                    return
+                vin_h = xvh_h if first else xvo_h
+                gin_h = xgh_h if first else xgo_h
+                nch = -(-Nyp // CY)
+
+                def cin(c, sl):
+                    yc = c * CY
+                    cy = min(CY, Nyp - yc)
+                    return [
+                        pltpu.make_async_copy(
+                            vin_h.at[p, pl.ds(yc, cy)],
+                            xv.at[sl, pl.ds(0, cy)], sem_xi.at[sl, 0]),
+                        pltpu.make_async_copy(
+                            gin_h.at[p, pl.ds(yc, cy)],
+                            xg.at[sl, pl.ds(0, cy)], sem_xi.at[sl, 1]),
+                        pltpu.make_async_copy(
+                            xsf_h.at[p, pl.ds(yc, cy)],
+                            xsb.at[sl, pl.ds(0, cy)], sem_xi.at[sl, 2]),
+                    ]
+
+                def cout(c, sl):
+                    yc = c * CY
+                    cy = min(CY, Nyp - yc)
+                    return [
+                        pltpu.make_async_copy(
+                            xv.at[sl, pl.ds(0, cy)],
+                            xvo_h.at[p, pl.ds(yc, cy)], sem_xo.at[sl, 0]),
+                        pltpu.make_async_copy(
+                            xg.at[sl, pl.ds(0, cy)],
+                            xgo_h.at[p, pl.ds(yc, cy)], sem_xo.at[sl, 1]),
+                    ]
+
+                for cp in cin(0, 0):
+                    cp.start()
+                for c in range(nch):
+                    sl = c % 2
+                    if c + 1 < nch:
+                        if c >= 1:
+                            for cp in cout(c - 1, 1 - sl):
+                                cp.wait()
+                        for cp in cin(c + 1, 1 - sl):
+                            cp.start()
+                    for cp in cin(c, sl):
+                        cp.wait()
+                    yc = c * CY
+                    cy = min(CY, Nyp - yc)
+                    ub = outr[oslot, r, yc:yc + cy, :]       # (cy, Nzp)
+                    u2b = read_prev_row(slice(yc, yc + cy))
+                    ub_new, vh0, gh_new = ode(
+                        ub, u2b, xv[sl, 0:cy], xg[sl, 0:cy],
+                        xsb[sl, 0:cy, 0, :], xco[p])
+                    outr[oslot, r, yc:yc + cy, :] = ub_new
+                    xv[sl, 0:cy] = vh0
+                    xg[sl, 0:cy] = gh_new
+                    for cp in cout(c, sl):
+                        cp.start()
+                for c in range(max(0, nch - 2), nch):
+                    for cp in cout(c, c % 2):
+                        cp.wait()
+
+            # ------------------------------------------------- visit loop
+            def run_stage(s, t):
+                """Stage s (1-based) at visit t: advance tile tau = t-s+1
+                of field F[s+1] (s == TB writes the staging buffer)."""
+                tau = t - (s - 1)
+                final = s == TB
+                writes_uN = s == TB - 1
+                oslot = tau % 2 if final else tau % 3
+                outr = uNb if final else rings[s - 1]
+
+                if s == 1:
+                    wait_in(t)
+                    slot = t % 3
+                    apply_flips(slab.at[slot], t)
+
+                    def rs(xo, ylo, hy):
+                        return slab[slot, xo:xo + TX, ylo:ylo + hy, :]
+
+                    def rdf(z):
+                        return slab[slot, 0:TX + 2, :, z]
+
+                    def rd(dx, y, z):
+                        return slab[slot, 1 + dx:1 + dx + TX, y, z]
+
+                    def rd_row(i, ysl):
+                        return slab[slot, i, ysl, :]
+
+                    def rp(rsl, ysl, zsl):
+                        return u0b[tau % 2, rsl, ysl, zsl]
+                else:
+                    a = asm[s - 2]
+                    src = rings[s - 2]          # F[s] ring
+
+                    @pl.when(tau >= 1)
+                    def _():
+                        a[0:1] = src[pl.ds((tau - 1) % 3, 1), TX - 1]
+
+                    a[1:TX + 1] = src[pl.ds(tau % 3, 1)][0]
+
+                    @pl.when(tau + 1 < NXT)
+                    def _():
+                        a[TX + 1:TX + 2] = src[pl.ds((tau + 1) % 3, 1), 0]
+
+                    apply_flips(a, tau)
+
+                    def rs(xo, ylo, hy):
+                        return a[xo:xo + TX, ylo:ylo + hy, :]
+
+                    def rdf(z):
+                        return a[0:TX + 2, :, z]
+
+                    def rd(dx, y, z):
+                        return a[1 + dx:1 + dx + TX, y, z]
+
+                    def rd_row(i, ysl):
+                        return a[i, ysl, :]
+
+                    if s == 2:
+                        def rp(rsl, ysl, zsl):
+                            return _shift1(slab, tau % 3, rsl, ysl, zsl)
+                    else:
+                        prev = rings[s - 3]      # F[s-1] ring
+
+                        def rp(rsl, ysl, zsl):
+                            return prev[tau % 3, rsl, ysl, zsl]
+
+                # deep-ring flush waits before the slot is rewritten
+                if writes_uN:
+                    @pl.when(tau >= 3)
+                    def _():
+                        outN_copy(tau - 3).wait()
+                if final:
+                    @pl.when(tau >= 2)
+                    def _():
+                        outF_copy(tau - 2).wait()
+                        if PZ:
+                            for c in z_out(tau - 2):
+                                c.wait()
+                        if PY:
+                            for c in y_out(tau - 2):
+                                c.wait()
+
+                def w(yc, hy, v):
+                    outr[oslot, :, yc:yc + hy, :] = v
+
+                def ra(yc, hy):
+                    return adjb[tau % RD, :, yc:yc + hy, :]
+
+                def rp_chunk(yc, hy):
+                    return rp(slice(0, TX), slice(yc, yc + hy), slice(None))
+
+                stencil_into(w, rs, ra, rp_chunk)
+                if NOFULL:
+                    def rps(y, z):
+                        return rp(slice(0, TX), y, z)
+
+                    adj_fixup(outr, oslot, rdf, rd, rps, tau % RD)
+                    for p in range(AX):
+                        xr = xa_rows[p]
+                        t1 = (xr - 1) // TX
+                        r = xr - t1 * TX - 1
+
+                        @pl.when(tau == t1)
+                        def _(p=p, r=r):
+                            adj_fixup_xrow(
+                                outr, oslot, r, p,
+                                lambda dx, ysl, r=r: rd_row(1 + r + dx, ysl),
+                                lambda ysl, r=r: rp(r, ysl, slice(None)))
+                apply_abc(outr, oslot, tau, rp)
+                if PZ:
+                    zplane_stage(outr, oslot, rp,
+                                 zv[s - 1].at[tau % 2], zg[s - 1].at[tau % 2],
+                                 zv[s].at[tau % 2], zg[s].at[tau % 2],
+                                 tau % RD)
+                if PY:
+                    yplane_stage(outr, oslot, rp,
+                                 yv[s - 1].at[tau % 2], yg[s - 1].at[tau % 2],
+                                 yv[s].at[tau % 2], yg[s].at[tau % 2],
+                                 tau % RD)
+                if PX:
+                    for p in range(PX):
+                        xl = xp_rows[p]
+                        t1 = (xl - 1) // TX
+                        r = xl - t1 * TX - 1
+
+                        @pl.when(tau == t1)
+                        def _(p=p, t1=t1, r=r):
+                            xplane_pass(
+                                outr, t1 % 2 if final else t1 % 3, r, p,
+                                lambda ysl, r=r: rp(r, ysl, slice(None)),
+                                s == 1)
+                if Nin:
+                    inject(outr, oslot, tau, s - 1)
+                if do_taps and 1 <= s <= TB - 2:
+                    take_taps(outr, oslot, tau, s)
+                if writes_uN:
+                    outN_copy(tau).start()
+                if final:
+                    outF_copy(tau).start()
+                    if PZ:
+                        for c in z_out(tau):
+                            c.start()
+                    if PY:
+                        for c in y_out(tau):
+                            c.start()
+
+            def _shift1(ref, slot, rsl, ysl, zsl):
+                """Read tile rows from a (TX+2)-row slab ref (rows offset
+                by 1: slab row 1 is the tile's first row)."""
+                if isinstance(rsl, slice):
+                    return ref[slot, slice(rsl.start + 1, rsl.stop + 1),
+                               ysl, zsl]
+                return ref[slot, rsl + 1, ysl, zsl]
+
+            def loop(t, _):
+                @pl.when(t + 1 < NXT)
+                def _():
+                    start_in(t + 1)
+
+                for s in range(1, TB + 1):
+                    # stage s is live while 0 <= t-s+1 < NXT
+                    @pl.when((t >= s - 1) & (t - s + 1 < NXT))
+                    def _(s=s):
+                        run_stage(s, t)
+
+            jax.lax.fori_loop(0, NV, loop, None, unroll=False)
+
+            # drain: waits not yet issued in-loop
+            for dt in range(max(0, NXT - 3), NXT):
+                outN_copy(dt).wait()
+            for dt in range(max(0, NXT - 2), NXT):
+                outF_copy(dt).wait()
+                if PZ:
+                    for c in z_out(dt):
+                        c.wait()
+                if PY:
+                    for c in y_out(dt):
+                        c.wait()
+            for c in pre:
+                c.wait()
+
+        plane = (Nyp, Nzp)
+        scratch = dict(
+            slab=pltpu.VMEM((3, TX + 2) + plane, dtype),
+            u0b=pltpu.VMEM((2, TX) + plane, dtype),
+            adjb=pltpu.VMEM((1, 1) if NOFULL else ((RD, TX) + plane), adt),
+            rings=tuple(pltpu.VMEM((3, TX) + plane, dtype)
+                        for _ in range(TB - 1)),
+            uNb=pltpu.VMEM((2, TX) + plane, dtype),
+            asm=tuple(pltpu.VMEM((TX + 2,) + plane, dtype)
+                      for _ in range(TB - 1)),
+            sem_u1=pltpu.SemaphoreType.DMA((3,)),
+            sem_u0=pltpu.SemaphoreType.DMA((2,)),
+            sem_adj=pltpu.SemaphoreType.DMA((RD,)),
+            sem_oN=pltpu.SemaphoreType.DMA((3,)),
+            sem_oF=pltpu.SemaphoreType.DMA((2,)),
+            sem_pre=pltpu.SemaphoreType.DMA((4,)),
+        )
+        Wy = -(-Nyp // 128) * 128
+        AZ8, AY8 = -(-AZ // 8) * 8, -(-AY // 8) * 8
+        scratch["zadr"] = pltpu.VMEM((RD, TX, AZ8, Wy) if AZ else (1, 1),
+                                     jnp.int32)
+        scratch["yadr"] = pltpu.VMEM((RD, TX, AY8, Nzp) if AY else (1, 1),
+                                     jnp.int32)
+        scratch["xadb"] = pltpu.VMEM((Nyp, Nzp) if AX else (1, 1), jnp.int32)
+        scratch["sem_az"] = pltpu.SemaphoreType.DMA((RD,) if AZ else (1,))
+        scratch["sem_ay"] = pltpu.SemaphoreType.DMA((RD,) if AY else (1,))
+        scratch["sem_ax"] = pltpu.SemaphoreType.DMA((1,))
+        if PZ:
+            zs = (2, TX, PZ, MZ, Nyw)
+            scratch.update(
+                zv=tuple(pltpu.VMEM(zs, dtype) for _ in range(TB + 1)),
+                zg=tuple(pltpu.VMEM(zs, dtype) for _ in range(TB + 1)),
+                zsf=pltpu.VMEM((RD, TX, PZ, Nyw), dtype),
+                sem_zin=pltpu.SemaphoreType.DMA((2, 2)),
+                sem_zout=pltpu.SemaphoreType.DMA((2, 2)),
+                sem_zsf=pltpu.SemaphoreType.DMA((RD,)))
+        else:
+            scratch["zv"] = tuple(pltpu.VMEM((1, 1), dtype)
+                                  for _ in range(TB + 1))
+            scratch["zg"] = tuple(pltpu.VMEM((1, 1), dtype)
+                                  for _ in range(TB + 1))
+            scratch["zsf"] = pltpu.VMEM((1, 1), dtype)
+            scratch["sem_zin"] = pltpu.SemaphoreType.DMA((1,))
+            scratch["sem_zout"] = pltpu.SemaphoreType.DMA((1,))
+            scratch["sem_zsf"] = pltpu.SemaphoreType.DMA((1,))
+        if PY:
+            ys_ = (2, TX, PY, MZ, Nzp)
+            scratch.update(
+                yv=tuple(pltpu.VMEM(ys_, dtype) for _ in range(TB + 1)),
+                yg=tuple(pltpu.VMEM(ys_, dtype) for _ in range(TB + 1)),
+                ysf=pltpu.VMEM((RD, TX, PY, Nzp), dtype),
+                sem_yin=pltpu.SemaphoreType.DMA((2, 2)),
+                sem_yout=pltpu.SemaphoreType.DMA((2, 2)),
+                sem_ysf=pltpu.SemaphoreType.DMA((RD,)))
+        else:
+            scratch["yv"] = tuple(pltpu.VMEM((1, 1), dtype)
+                                  for _ in range(TB + 1))
+            scratch["yg"] = tuple(pltpu.VMEM((1, 1), dtype)
+                                  for _ in range(TB + 1))
+            scratch["ysf"] = pltpu.VMEM((1, 1), dtype)
+            scratch["sem_yin"] = pltpu.SemaphoreType.DMA((1,))
+            scratch["sem_yout"] = pltpu.SemaphoreType.DMA((1,))
+            scratch["sem_ysf"] = pltpu.SemaphoreType.DMA((1,))
+        if PX:
+            scratch.update(
+                xv=pltpu.VMEM((2, CY, MZ, Nzp), dtype),
+                xg=pltpu.VMEM((2, CY, MZ, Nzp), dtype),
+                xsb=pltpu.VMEM((2, CY, 8, Nzp), dtype),
+                sem_xi=pltpu.SemaphoreType.DMA((2, 3)),
+                sem_xo=pltpu.SemaphoreType.DMA((2, 2)))
+        else:
+            for k in ("xv", "xg", "xsb"):
+                scratch[k] = pltpu.VMEM((1, 1), dtype)
+            scratch["sem_xi"] = pltpu.SemaphoreType.DMA((1,))
+            scratch["sem_xo"] = pltpu.SemaphoreType.DMA((1,))
+
+        pl.run_scoped(body, **scratch)
+
+    gshape = jax.ShapeDtypeStruct((Nxp, Nyp, Nzp), dtype)
+
+    def fused(u1, u0, adj, sigTB, states, pconsts):
+        """states: {fam: (vh, gh)}; pconsts: {fam: (ssaf, coefs)}; adj:
+        the packed adjacency grid, or (adj-planes mode) the {"z"/"y"/"x":
+        int32 plane-adjacency} dict.  Returns (uN1, uN, taps, new_states)."""
+        ins = [sigTB]
+        n_smem = 1
+        ins += [u1, u0]
+        if NOFULL:
+            for fam, on in (("z", AZ), ("y", AY), ("x", AX)):
+                if on:
+                    ins.append(adj[fam])
+        else:
+            ins.append(adj)
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * n_smem \
+            + [pl.BlockSpec(memory_space=pl.ANY)] * (len(ins) - n_smem)
+        outs = [gshape, gshape]
+        out_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 2
+        al = {n_smem: 0, n_smem + 1: 1}
+        n_fixed_out = 2
+        if do_taps:
+            outs.append(jax.ShapeDtypeStruct((NTAP, Nout), dtype))
+            out_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+            n_fixed_out = 3
+        idx, oidx = len(ins), n_fixed_out
+        fams = []
+        for fam, on in (("z", PZ), ("y", PY), ("x", PX)):
+            if not on:
+                continue
+            vh, gh = states[fam]
+            sf, co = pconsts[fam]
+            ins += [vh, gh, sf, co]
+            in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * 3 \
+                + [pl.BlockSpec(memory_space=pltpu.VMEM)]
+            outs += [jax.ShapeDtypeStruct(vh.shape, dtype),
+                     jax.ShapeDtypeStruct(gh.shape, dtype)]
+            out_specs += [pl.BlockSpec(memory_space=pl.ANY)] * 2
+            al[idx] = oidx
+            al[idx + 1] = oidx + 1
+            fams.append(fam)
+            idx += 4
+            oidx += 2
+        res = pl.pallas_call(
+            kernel,
+            out_shape=outs,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            input_output_aliases=al,
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True,
+                vmem_limit_bytes=127 * 1024 * 1024),
+            interpret=interpret,
+        )(*ins)
+        taps = res[2] if do_taps else jnp.zeros((NTAP, max(Nout, 1)), dtype)
+        new_states = {fam: (res[n_fixed_out + 2 * i],
+                            res[n_fixed_out + 1 + 2 * i])
+                      for i, fam in enumerate(fams)}
+        return res[0], res[1], taps, new_states
+
+    return fused
+
+
+def pick_tile_tb(Nyp, Nzp, TB, adj_bytes=2, dtype_bytes=4,
+                 budget_bytes=88 * 1024 * 1024, state_bytes=0,
+                 min_tx=3) -> int | None:
+    """Largest TX whose TB-stage scratch fits the VMEM budget, or None.
+
+    state_bytes: per-TX-row bytes of fused plane-state scratch (use
+    BoundaryPlanes.state_bytes_per_row(TB=...))."""
+    plane = Nyp * Nzp
+    for TX in (16, 12, 8, 6, 4, 3):
+        if TX < min_tx:
+            break
+        need = plane * (
+            3 * (TX + 2) * dtype_bytes          # u1 slab ring
+            + 2 * TX * dtype_bytes              # u0 blocks
+            + (TB + 1) * TX * adj_bytes         # adj ring
+            + (TB - 1) * 3 * TX * dtype_bytes   # intermediate field rings
+            + (TB - 1) * (TX + 2) * dtype_bytes  # assembly slabs
+            + 2 * TX * dtype_bytes)             # final staging
+        need += TX * state_bytes
+        if need <= budget_bytes:
+            return TX
+    return None

@@ -1,0 +1,89 @@
+"""Deep-DMA-ring tiled boundary kernel vs the auto-pipelined original.
+
+The ring rewrite changes ONLY the window streaming (manual K-deep DMA ring
+instead of Mosaic's depth-2 auto pipeline); processing order and math are
+unchanged, so outputs must be bit-identical in interpret mode.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from pffdtd_tpu.engine.coeffs import MatCoeffs, SchemeCoeffs
+from pffdtd_tpu.engine.pallas_boundary import (build_boundary_ring,
+                                               build_boundary_update,
+                                               partition_boundary)
+from pffdtd_tpu.io.h5 import MMb
+
+
+def _mats(nmat=2, Mb=3):
+    from pffdtd_tpu.scene_setup import mats_from_DEF_list
+
+    rng = np.random.default_rng(7)
+    mats = [rng.uniform(0.5, 5.0, (Mb, 3)) for _ in range(nmat)]
+    return MatCoeffs.from_mats(mats_from_DEF_list(mats), Ts=1e-4)
+
+
+def _case(n_elements, nodes, T, wr, seed=0):
+    rng = np.random.default_rng(seed)
+    bnl = np.sort(rng.choice(n_elements, size=nodes, replace=False))
+    ssaf = rng.uniform(0.5, 2.0, nodes)
+    mat = rng.integers(0, 2, nodes).astype(np.int32)
+    mc = _mats()
+    sc = SchemeCoeffs.make(1.0 / np.sqrt(3.0), 1.0 / 3.0, False, eps=0.0)
+    bt = partition_boundary(bnl, ssaf.astype(np.float32), mat, mc,
+                            n_elements, T=T, wr=wr)
+
+    upd_a, nd_a = build_boundary_update(bt, sc, n_elements, interpret=True)
+    upd_r, nd_r = build_boundary_ring(bt, sc, n_elements, interpret=True)
+
+    N = bt.n_tiles * bt.T
+    unew = jnp.asarray(rng.standard_normal(n_elements).astype(np.float32))
+    u2b = jnp.asarray(rng.standard_normal(N).astype(np.float32))
+    vh = jnp.asarray(rng.standard_normal((MMb, N)).astype(np.float32))
+    gh = jnp.asarray(rng.standard_normal((MMb, N)).astype(np.float32))
+
+    o_a = upd_a(unew, u2b, vh, gh,
+                {k: jnp.asarray(v) for k, v in nd_a.items()})
+    o_r = upd_r(unew, u2b, vh, gh,
+                {k: jnp.asarray(v) for k, v in nd_r.items()})
+    for a, r, name in zip(o_a, o_r, ("unew", "ub", "vh0", "gh")):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(r),
+                                      err_msg=name)
+
+
+def test_ring_matches_auto_sparse():
+    # strays spread thinly over many windows (the Musikverein regime)
+    _case(n_elements=128 * 128 * 8, nodes=700, T=128, wr=128)
+
+
+def test_ring_matches_auto_dense_runs():
+    # clustered nodes: several tiles per window, exercises first=0 chains
+    rng = np.random.default_rng(3)
+    base = np.arange(0, 5000, 2)
+    extra = np.sort(rng.choice(np.arange(60000, 70000), 800, replace=False))
+    bnl = np.unique(np.r_[base, extra])
+    n_elements = 128 * 128 * 8
+    mc = _mats()
+    sc = SchemeCoeffs.make(1.0, 1.0, True, eps=0.0)
+    ssaf = rng.uniform(0.5, 2.0, bnl.size).astype(np.float32)
+    mat = rng.integers(0, 2, bnl.size).astype(np.int32)
+    bt = partition_boundary(bnl, ssaf, mat, mc, n_elements, T=256, wr=256)
+    upd_a, nd_a = build_boundary_update(bt, sc, n_elements, interpret=True)
+    upd_r, nd_r = build_boundary_ring(bt, sc, n_elements, interpret=True)
+    N = bt.n_tiles * bt.T
+    unew = jnp.asarray(rng.standard_normal(n_elements).astype(np.float32))
+    u2b = jnp.asarray(rng.standard_normal(N).astype(np.float32))
+    vh = jnp.asarray(rng.standard_normal((MMb, N)).astype(np.float32))
+    gh = jnp.asarray(rng.standard_normal((MMb, N)).astype(np.float32))
+    o_a = upd_a(unew, u2b, vh, gh,
+                {k: jnp.asarray(v) for k, v in nd_a.items()})
+    o_r = upd_r(unew, u2b, vh, gh,
+                {k: jnp.asarray(v) for k, v in nd_r.items()})
+    for a, r, name in zip(o_a, o_r, ("unew", "ub", "vh0", "gh")):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(r),
+                                      err_msg=name)
+
+
+def test_ring_single_window():
+    # everything in one window: warm-up + drain paths with n_seq = 1
+    _case(n_elements=128 * 128 * 2, nodes=300, T=128, wr=256, seed=11)
