@@ -37,7 +37,7 @@ DEF11 = np.array([[d, e, f] for d, e, f in zip(
     np.geomspace(20.0, 2.0e5, 11))])
 
 
-def run_synthetic(fcc: bool, lossy: bool, Lx, Ly, Lz, h, nt):
+def run_synthetic(fcc: bool, lossy: bool, Lx, Ly, Lz, h, nt, tag=None):
     from pffdtd_tpu.demo import synthetic_box_sim
     from pffdtd_tpu.engine.jax_engine import JaxEngine
     from pffdtd_tpu.prep import fold_fcc_sim, rotate_sim, sort_sim
@@ -52,7 +52,9 @@ def run_synthetic(fcc: bool, lossy: bool, Lx, Ly, Lz, h, nt):
         sim = sort_sim(fold_fcc_sim(rotate_sim(sim)))
     t1 = time.perf_counter()
     g = sim.vox
-    print(f"[{'fcc' if fcc else 'cart'}_{'lossy' if lossy else 'rigid'}] "
+    tag = tag or (f"{'fcc' if fcc else 'cart'}_"
+                  f"{'lossy' if lossy else 'rigid'}")
+    print(f"[{tag}] "
           f"setup {t1 - t0:.1f}s  grid {g.Nx}x{g.Ny}x{g.Nz} = "
           f"{g.Nx * g.Ny * g.Nz / 1e6:.1f} Mvox, Nb={g.Nb}", file=sys.stderr)
 
@@ -210,6 +212,15 @@ def main():
                 secondary["mv_fcc_lossy"] = run_real_mv(nt)
             except Exception as e:  # noqa: BLE001
                 print(f"  mv_fcc_lossy failed: {e}", file=sys.stderr)
+        try:
+            # the reference's defining capability is billion-voxel grids
+            # (8.95e9-32.4e9 across GPUs, pffdtd_benchmarks.csv:36-50);
+            # one v5e fits ~1.1e9 rigid Cartesian voxels (u0+u1 fp32 ~9 GB)
+            secondary["cart_rigid_1e9"] = run_synthetic(
+                False, False, 56.0, 41.0, 46.2, h, nt,
+                tag="cart_rigid_1e9")
+        except Exception as e:  # noqa: BLE001
+            print(f"  cart_rigid_1e9 failed: {e}", file=sys.stderr)
         secondary["fp32_tail_to_head_rms_50k"] = fp32_energy_drift()
         try:
             secondary["fp32_tail_to_head_rms_50k_lossy"] = \

@@ -38,9 +38,17 @@ def _cmd_sim(args):
     else:
         eng = JaxEngine(args.data_dir, dtype=dtype, energy_on=args.energy,
                         backend=args.backend)
-        eng.run(chunk=args.nsteps,
+        on_chunk = None
+        chunk = args.nsteps
+        if args.plot:
+            from pffdtd_tpu.viz import LiveSliceView
+
+            on_chunk = LiveSliceView(eng, show=args.show)
+            chunk = chunk or max(1, eng.Nt // 60)
+        eng.run(chunk=chunk,
                 checkpoint_every=args.checkpoint_every or None,
-                checkpoint_path=args.checkpoint, resume=args.resume)
+                checkpoint_path=args.checkpoint, resume=args.resume,
+                on_chunk=on_chunk)
         eng.save_outputs(args.data_dir)
         eng.print_last_samples(5)
         if args.energy:
@@ -109,6 +117,11 @@ def main(argv=None):
     ps.add_argument("--checkpoint_every", type=int, default=0,
                     help="checkpoint every N blocks")
     ps.add_argument("--resume", action="store_true")
+    ps.add_argument("--plot", action="store_true",
+                    help="live 3-slice wavefield view during the run "
+                         "(saves PNG frames when headless)")
+    ps.add_argument("--show", action="store_true",
+                    help="with --plot, open an interactive window")
     ps.set_defaults(fn=_cmd_sim)
 
     pp = sub.add_parser("process", help="post-process sim_outs.h5 into RIRs")

@@ -899,14 +899,60 @@ class JaxEngine:
                                      jnp.zeros((1,), d.dtype)))
         return (u0, u1, vh, gh)
 
+    def bn_ms_per_step(self, iters: int = 30) -> float | None:
+        """Measured boundary-update time per step (ms), or None.
+
+        The reference dashboard splits air vs boundary rates because its
+        kernels run on separate streams (fdtd_common.h:106-190).  Our
+        single-step pallas path has the same two-phase structure (fused
+        stencil kernel + hybrid boundary kernels), so the boundary share
+        is measured by timing the hybrid update alone; the pair/TB
+        kernels fuse everything into one sweep (no split exists).
+        """
+        d = self.data
+        if self.backend != "pallas" or d.bhyb is None or not d.Nbl:
+            return None
+        if getattr(self, "_bn_ms", None) is not None:
+            return self._bn_ms
+        import time
+
+        from pffdtd_tpu.engine.pallas_boundary import build_boundary_hybrid
+
+        jdt = jnp.float32 if d.dtype == np.float32 else jnp.float64
+        upd, nd = build_boundary_hybrid(d.bhyb, d.sc,
+                                        int(np.prod(d.grid.shape)), dtype=jdt)
+        vhs, u2s = d.bhyb.state_shapes()
+        nd = jax.tree.map(jnp.asarray, nd)
+
+        @jax.jit
+        def loop(unew, u2b, vh, gh):
+            def body(_, c):
+                return upd(c[0], c[1], c[2], c[3], nd)
+            return jax.lax.fori_loop(0, iters, body, (unew, u2b, vh, gh))
+
+        unew = jnp.zeros(int(np.prod(d.grid.shape)), d.dtype)
+        u2b = {k: jnp.zeros(s, d.dtype) for k, s in u2s.items()}
+        vh = {k: jnp.zeros(s, d.dtype) for k, s in vhs.items()}
+        gh = {k: jnp.zeros(s, d.dtype) for k, s in vhs.items()}
+        out = loop(unew, u2b, vh, gh)          # compile + warm
+        float(jnp.sum(out[0]))                 # real readback sync
+        t0 = time.perf_counter()
+        out = loop(*out)
+        float(jnp.sum(out[0]))
+        self._bn_ms = (time.perf_counter() - t0) / iters * 1e3
+        return self._bn_ms
+
     def run(self, nt: int | None = None, verbose: bool = True,
             chunk: int | None = None, checkpoint_every: int | None = None,
-            checkpoint_path=None, resume: bool = False):
+            checkpoint_path=None, resume: bool = False, on_chunk=None):
         """Run the simulation; returns u_out (Nr, Nt) in float64.
 
         chunk: run the scan in blocks of this many steps, printing a live
         progress line per block (the reference's print_progress dashboard,
-        fdtd_common.h:106-190, reports the same total/instantaneous MVPS).
+        fdtd_common.h:106-190, reports the same total/instantaneous MVPS
+        plus the measured air/boundary split where one exists).
+        on_chunk: callable(step, carry) invoked after every chunk (e.g. a
+        viz.LiveSliceView for the reference's run_plot live view).
         checkpoint_every/checkpoint_path: save the full wavefield state
         (u0,u1,vh,gh + step counter) every N blocks; resume=True restarts
         from the latest checkpoint — the reference has NO mid-simulation
@@ -949,15 +995,24 @@ class JaxEngine:
             ys_parts.append(ys)
             n += m
             blocks += 1
+            if on_chunk is not None:
+                on_chunk(n, carry)
             if verbose and n < nt:
                 dt_b = time.perf_counter() - tb
                 dt_tot = time.perf_counter() - t0
                 inst = npts * m / dt_b / 1e6
                 tot = npts * (n - n0) / dt_tot / 1e6
                 eta = (nt - n) * dt_tot / max(n - n0, 1)
+                split = ""
+                bn_ms = self.bn_ms_per_step() if blocks == 1 else \
+                    getattr(self, "_bn_ms", None)
+                if bn_ms is not None:
+                    bn_pct = min(100.0, 100.0 * bn_ms / (dt_b / m * 1e3))
+                    split = f", air {100 - bn_pct:.0f}% / bn {bn_pct:.0f}%"
                 print(f"--ENGINE(jax): {n}/{nt} "
                       f"[{100 * n / nt:.0f}%] {inst:.1f} MVPS inst, "
-                      f"{tot:.1f} MVPS avg, ETA {eta:.1f}s", flush=True)
+                      f"{tot:.1f} MVPS avg, ETA {eta:.1f}s{split}",
+                      flush=True)
             if (checkpoint_every and checkpoint_path
                     and blocks % checkpoint_every == 0):
                 self._save_checkpoint(checkpoint_path, carry, n, ys_parts)

@@ -123,6 +123,96 @@ def plot_rirs(r_out, Fs, fname=None):
     return fig
 
 
+class LiveSliceView:
+    """Live in-run 3-slice wavefield view with boundary overlay.
+
+    Reference parity: the Python engine's interactive `run_plot`
+    (sim_fdtd.py:321-527).  Attach via `JaxEngine.run(on_chunk=view)`:
+    the view object is callable with (step, carry) and redraws three
+    orthogonal slices through the source point after every chunk.  With
+    an interactive matplotlib backend the window updates in place; on a
+    headless box each update is saved as a PNG frame instead.
+    """
+
+    def __init__(self, engine, show: bool = True, out_dir="live_frames",
+                 overlay_max=60000):
+        self.plt = _plt()
+        import matplotlib
+
+        self.interactive = show and matplotlib.get_backend().lower() in (
+            "tkagg", "qtagg", "macosx")
+        d = engine.data
+        g = d.grid
+        self.g = g
+        self.fcc = d.fcc
+        self.infac = d.infac
+        self.out_dir = Path(out_dir)
+        if not self.interactive:
+            self.out_dir.mkdir(parents=True, exist_ok=True)
+        self.k = 0
+
+        ii = np.asarray(d.in_ixyz)
+        if ii.size:
+            mid = np.int64(np.median(ii))
+            self.ix = int(mid // (g.Nyp * g.Nzp))
+            self.iy = int((mid // g.Nzp) % g.Nyp)
+            self.iz = int(mid % g.Nzp)
+        else:
+            self.ix, self.iy, self.iz = g.Nx // 2, g.Ny // 2, g.Nz // 2
+
+        # boundary-node overlay: nodes lying in each slice plane
+        bn = np.asarray(d.bn_ixyz)
+        bx = bn // (g.Nyp * g.Nzp)
+        by = (bn // g.Nzp) % g.Nyp
+        bz = bn % g.Nzp
+        rng = np.random.default_rng(0)
+
+        def pick(mask, a, b):
+            idx = np.flatnonzero(mask)
+            if idx.size > overlay_max:
+                idx = rng.choice(idx, overlay_max, replace=False)
+            return a[idx], b[idx]
+
+        self.overlays = [pick(bz == self.iz, bx, by),
+                         pick(by == self.iy, bx, bz),
+                         pick(bx == self.ix, by, bz)]
+
+        self.fig, self.axes = self.plt.subplots(1, 3, figsize=(14, 4.5))
+        self.ims = []
+        names = ("xy", "xz", "yz")
+        shapes = [(g.Nx, g.Ny), (g.Nx, g.Nz), (g.Ny, g.Nz)]
+        for ax, name, shp, (oa, ob) in zip(self.axes, names, shapes,
+                                           self.overlays):
+            im = ax.imshow(np.zeros(shp).T, origin="lower", cmap="seismic",
+                           vmin=-1.0, vmax=1.0, aspect="equal")
+            ax.scatter(oa, ob, s=0.3, c="k", alpha=0.35, linewidths=0)
+            ax.set_title(f"{name}-plane")
+            self.ims.append(im)
+        if self.interactive:
+            self.fig.show()
+
+    def __call__(self, step, carry):
+        g = self.g
+        u = carry[1]   # the newest pressure field in every backend's carry
+        sls = [np.asarray(u[:g.Nx, :g.Ny, self.iz]) * self.infac,
+               np.asarray(u[:g.Nx, self.iy, :g.Nz]) * self.infac,
+               np.asarray(u[self.ix, :g.Ny, :g.Nz]) * self.infac]
+        if self.fcc:
+            i3 = (self.iz, self.iy, self.ix)
+            sls = [fcc_fill_plot_holes(s, int(i)) for s, i in zip(sls, i3)]
+        cmax = max(max(np.abs(s).max() for s in sls), 1e-30)
+        for im, s in zip(self.ims, sls):
+            im.set_data(s.T)
+            im.set_clim(-1.1 * cmax, 1.1 * cmax)
+        self.fig.suptitle(f"step {step}")
+        if self.interactive:
+            self.fig.canvas.draw_idle()
+            self.plt.pause(0.001)
+        else:
+            self.fig.savefig(self.out_dir / f"live_{self.k:04d}.png", dpi=90)
+        self.k += 1
+
+
 def render_animation(engine, frames=20, steps_per_frame=None, out_dir="frames",
                      fcc=False):
     """Run the engine in blocks, saving a slice snapshot per block (the

@@ -92,3 +92,21 @@ def test_vox_viz_smoke(tmp_path):
     f = tmp_path / "vox.png"
     plot_voxelization(vs, fname=f)
     assert f.exists()
+
+
+def test_live_slice_view(tmp_path):
+    """run_plot parity: live view callback renders frames during run()."""
+    import numpy as np
+
+    from pffdtd_tpu.demo import synthetic_box_sim
+    from pffdtd_tpu.engine.jax_engine import JaxEngine
+    from pffdtd_tpu.viz import LiveSliceView
+
+    sim = synthetic_box_sim(1.6, 1.3, 1.1, h=0.14, Nt=12, lossy=True,
+                            insig_type="hann10", diff_source=False)
+    eng = JaxEngine(consts=sim.consts, vox=sim.vox, comms=sim.comms,
+                    mats=sim.mats, dtype=np.float32, backend="xla")
+    view = LiveSliceView(eng, show=False, out_dir=tmp_path / "live")
+    eng.run(verbose=False, chunk=4, on_chunk=view)
+    frames = sorted((tmp_path / "live").glob("live_*.png"))
+    assert len(frames) == 3 and frames[0].stat().st_size > 0
