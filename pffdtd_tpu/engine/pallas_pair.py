@@ -231,9 +231,12 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
     MZ = zpl.MZ if PZ else (ypl.MZ if PY else (xpl.MZ if PX else 8))
     Nyw = zpl.ssaf.shape[2] if PZ else 128
     CY = min(xpl.CY, Nyp) if PX else 8
-    if PX:
-        assert not SHARDED, "x-plane lossy fusion is single-device only"
+    if PX and not SHARDED:
         assert all(1 <= x <= Nx - 2 for x in xp_rows), xp_rows
+    # sharded x-planes: the SPMD program is shard-uniform, so plane rows
+    # are RUNTIME values from an SMEM array (one fleet-max-padded set per
+    # shard; inactive planes carry ssaf = 0 = exact identity)
+    XDYN = SHARDED and PX > 0
     if SHARDED:
         assert adj_planes is None, "adj-planes mode is single-device only"
 
@@ -263,6 +266,7 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
         sig = next(it)                     # SMEM (2, max(Nin, 1))
         scal = next(it) if SHARDED else None   # SMEM (3,) i32
         iptr = next(it) if SHARDED else None   # SMEM (3, max(Nin, 1)) i32
+        xpr = next(it) if XDYN else None       # SMEM (PX,) i32 local rows
         u1_h = next(it)
         u0_h = next(it)
         adj_h = None if NOFULL else next(it)
@@ -819,12 +823,21 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                         cp.wait()
                     yc = c * CY
                     cy = min(CY, Nyp - yc)
-                    ub = outr[oslot, r, yc:yc + cy, :]       # (cy, Nzp)
-                    u2b = prev_ref[prev_row, yc:yc + cy, :]
+                    if XDYN:   # runtime plane rows (sharded SPMD)
+                        ub = outr[oslot, pl.ds(r, 1), yc:yc + cy, :][0]
+                        u2b = prev_ref[pl.ds(prev_row, 1),
+                                       yc:yc + cy, :][0]
+                    else:
+                        ub = outr[oslot, r, yc:yc + cy, :]   # (cy, Nzp)
+                        u2b = prev_ref[prev_row, yc:yc + cy, :]
                     ub_new, vh0, gh_new = ode(
                         ub, u2b, xv[sl, 0:cy], xg[sl, 0:cy],
                         xsb[sl, 0:cy, 0, :], xco[p])
-                    outr[oslot, r, yc:yc + cy, :] = ub_new
+                    if XDYN:
+                        outr[oslot, pl.ds(r, 1), yc:yc + cy, :] = \
+                            ub_new[None]
+                    else:
+                        outr[oslot, r, yc:yc + cy, :] = ub_new
                     xv[sl, 0:cy] = vh0
                     xg[sl, 0:cy] = gh_new
                     for cp in cout(c, sl):
@@ -917,7 +930,10 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                                      yv1.at[t % 2], yg1.at[t % 2], t % 3)
                     if PX:
                         for p in range(PX):
-                            xl = xp_rows[p]
+                            if XDYN:
+                                xl = xpr[p]
+                            else:
+                                xl = xp_rows[p]
                             t1 = (xl - 1) // TX
                             r = xl - t1 * TX - 1
 
@@ -1011,7 +1027,10 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                             c.start()
                     if PX:
                         for p in range(PX):
-                            xl = xp_rows[p]
+                            if XDYN:
+                                xl = xpr[p]
+                            else:
+                                xl = xp_rows[p]
                             t1 = (xl - 1) // TX
                             r = xl - t1 * TX - 1
 
@@ -1107,16 +1126,23 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
 
     gshape = jax.ShapeDtypeStruct((Nxp, Nyp, Nzp), dtype)
 
-    def fused(u1, u0, adj, sig2, states, pconsts, scal=None, ipts=None):
+    def fused(u1, u0, adj, sig2, states, pconsts, scal=None, ipts=None,
+              xpr=None):
         """states: {fam: (vh, gh)}; pconsts: {fam: (ssaf, coefs)} - the
         static plane arrays are threaded as jit args, never closed over
         (closure-captured device arrays inline into the serialized HLO).
         adj: the packed adjacency grid, or (adj_planes mode) the
         {"z"/"y"/"x": int32 plane-adjacency} dict.  scal/ipts: sharded-mode
-        SMEM scalars ([x0, is_first, is_last] and local source coords)."""
+        SMEM scalars ([x0, is_first, is_last] and local source coords);
+        xpr: sharded-mode (PX,) i32 LOCAL x-plane rows in [2, S+1];
+        inactive planes point at row 2 with ssaf = 0 (exact identity -
+        NEVER at the edge rows 1 / S+2, whose u3 values are garbage by
+        design and would poison the state through 0 * garbage)."""
         ins = [sig2]
         if SHARDED:
             ins += [scal, ipts]
+            if XDYN:
+                ins.append(xpr)
         n_smem = len(ins)
         ins += [u1, u0]
         if NOFULL:
@@ -1176,9 +1202,14 @@ def pick_tile_pair(Nyp, Nzp, adj_bytes=2, dtype_bytes=4,
     The budget leaves ~45 MB of the 128 MB VMEM for Mosaic's stack
     temporaries (the stencil materialises a few block-sized values per
     expression tree).  state_bytes: per-row bytes of fused plane state
-    scratch (6 copies of vh/gh rings + 3 ssaf slots), added per TX row."""
+    scratch (6 copies of vh/gh rings + 3 ssaf slots), added per TX row.
+
+    TX is capped at 8: TX=12/16 (reachable on small planes) hit a
+    pathological Mosaic compile mode (remote compiles of 20+ minutes
+    observed where TX<=8 variants take 1-3) with no bandwidth upside -
+    the per-visit DMA is already row-granular and deep."""
     plane = Nyp * Nzp
-    for TX in (16, 12, 8, 6, 4, 3):
+    for TX in (8, 6, 4, 3):
         need = plane * (
             3 * (TX + 2) * dtype_bytes        # u1 slab ring
             + 2 * TX * dtype_bytes            # u0 blocks

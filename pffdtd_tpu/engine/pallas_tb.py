@@ -115,7 +115,10 @@ def build_fused_tb(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 4,
         np.asarray(out_pts, np.int64)
     Nout = int(out_pts.shape[0])
     NTAP = max(TB - 2, 1)
-    do_taps = TB > 2 and Nout > 0
+    # PFFDTD_TB_NOTAPS=1: perf ablation only - intermediate-step receiver
+    # samples come back as zeros
+    do_taps = (TB > 2 and Nout > 0
+               and os.environ.get("PFFDTD_TB_NOTAPS", "0") != "1")
 
     zpl = planes.z if planes is not None else None
     ypl = planes.y if planes is not None else None
@@ -958,6 +961,8 @@ def build_fused_tb(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 4,
             interpret=interpret,
         )(*ins)
         taps = res[2] if do_taps else jnp.zeros((NTAP, max(Nout, 1)), dtype)
+        if not do_taps and Nout:
+            taps = jnp.zeros((NTAP, Nout), dtype)
         new_states = {fam: (res[n_fixed_out + 2 * i],
                             res[n_fixed_out + 1 + 2 * i])
                       for i, fam in enumerate(fams)}
@@ -972,9 +977,10 @@ def pick_tile_tb(Nyp, Nzp, TB, adj_bytes=2, dtype_bytes=4,
     """Largest TX whose TB-stage scratch fits the VMEM budget, or None.
 
     state_bytes: per-TX-row bytes of fused plane-state scratch (use
-    BoundaryPlanes.state_bytes_per_row(TB=...))."""
+    BoundaryPlanes.state_bytes_per_row(TB=...)).  TX capped at 8 (see
+    pick_tile_pair: TX=12/16 trigger pathological Mosaic compiles)."""
     plane = Nyp * Nzp
-    for TX in (16, 12, 8, 6, 4, 3):
+    for TX in (8, 6, 4, 3):
         if TX < min_tx:
             break
         need = plane * (

@@ -286,9 +286,11 @@ class ShardedPairEngine:
     TWO steps equals the single-step engine's per ONE step — temporal
     blocking halves both HBM and ICI bytes.
 
-    Requirements (else use ShardedPallasEngine): every lossy node on a
-    z/y-normal impedance plane (n_stray == 0, no x-planes: static x-row
-    ownership breaks SPMD), (Nx-2) % D == 0, and <= 64 sources.
+    Requirements (else use ShardedPallasEngine): every lossy node on an
+    axis-normal impedance plane (n_stray == 0), (Nx-2) % D == 0, and
+    <= 64 sources.  x-normal planes are supported via RUNTIME plane rows
+    (one fleet-max set per shard, SMEM-indexed so the SPMD program stays
+    shard-uniform) unless a plane lands on a duplicated overlap row.
     Reference anchor: the multi-GPU pair of kernels + per-step peer halo
     copies this replaces: gpu_engine.h:964-1126.
     """
@@ -329,11 +331,21 @@ class ShardedPairEngine:
             raise ValueError("pair kernel requires full axis-plane "
                              "boundary coverage (n_stray == 0)")
         planes = d.planes
-        if planes is not None and planes.x is not None:
-            raise ValueError("x-normal impedance planes are unsupported "
-                             "in the sharded pair engine")
         S = (g.Nx - 2) // D
         self.S = S
+        if planes is not None and planes.x is not None and D > 1:
+            # x-planes on DUPLICATED overlap rows would need per-pair
+            # state exchange between the two owners; reject (global rows
+            # k*S and k*S+1 are each computed by two shards)
+            for xr in planes.x.xp:
+                xr = int(xr)
+                dup = ((xr % S == 0 and 1 <= xr // S <= D - 1)
+                       or ((xr - 1) % S == 0
+                           and 1 <= (xr - 1) // S <= D - 1))
+                if dup:
+                    raise ValueError(
+                        f"x-plane at global row {xr} lands on a shard-"
+                        f"overlap row (S={S}); pad or re-split the grid")
         adjb = 2 if d.NN == 12 else 1
         TX = tile_x or pick_tile_pair(g.Nyp, g.Nzp, adj_bytes=adjb)
         while TX > S + 2:
@@ -371,6 +383,8 @@ class ShardedPairEngine:
         self._fams = []
         self._pconsts = {}
         self._state_shapes = {}
+        self._xpr = None
+        planes_build = planes
         if planes is not None:
             for fam, pp in (("z", planes.z), ("y", planes.y)):
                 if pp is None:
@@ -391,6 +405,45 @@ class ShardedPairEngine:
                 self._state_shapes[fam] = (
                     (D * Nxp_loc,) + tuple(pp.state_shape(1)[1:]))
                 self._fams.append(fam)
+            if planes.x is not None:
+                # x-planes: one fleet-max-padded set per shard, rows from
+                # an SMEM array at runtime (inactive = row 1, ssaf 0)
+                xp = planes.x
+                own = np.clip((np.asarray(xp.xp, np.int64) - 1) // S,
+                              0, D - 1)
+                PXm = max(1, int(np.bincount(own, minlength=D).max()))
+                # inactive planes (ssaf = 0, exact identity) point at
+                # local row 2: the edge rows 1 / S+2 carry garbage u3 by
+                # design and 0 * garbage would poison the state
+                xpr = np.full((D, PXm), 2, np.int32)
+                sa_l = np.zeros((D, PXm) + xp.ssaf.shape[1:], d.dtype)
+                co_l = np.zeros((D, PXm) + xp.coefs.shape[1:], d.dtype)
+                slots = [0] * D
+                for p, xr in enumerate(np.asarray(xp.xp, np.int64)):
+                    k = int(own[p])
+                    s = slots[k]
+                    slots[k] += 1
+                    xpr[k, s] = int(xr) - int(x0[k])   # local row
+                    sa_l[k, s] = xp.ssaf[p]
+                    co_l[k, s] = xp.coefs[p]
+                self._xpr = xpr
+                self._pconsts["xssaf"] = sa_l.reshape((D * PXm,)
+                                                      + xp.ssaf.shape[1:])
+                self._pconsts["xcoefs"] = co_l.reshape((D * PXm,)
+                                                       + xp.coefs.shape[1:])
+                self._state_shapes["x"] = (
+                    (D * PXm,) + tuple(xp.state_shape(1)[1:]))
+                self._fams.append("x")
+                from pffdtd_tpu.engine.pallas_boundary import (
+                    BoundaryPlanes, BoundaryXPlanes)
+
+                xp_fleet = BoundaryXPlanes(
+                    P=PXm, xp=np.ones(PXm, np.int32),
+                    ssaf=np.zeros((PXm,) + xp.ssaf.shape[1:], d.dtype),
+                    coefs=np.zeros((PXm,) + xp.coefs.shape[1:], d.dtype),
+                    CY=xp.CY)
+                planes_build = BoundaryPlanes(z=planes.z, y=planes.y,
+                                              x=xp_fleet, n_stray=0)
 
         # sources: per-shard LOCAL coordinates (the tile-range check in the
         # kernel implements ownership, including the duplicated edge rows)
@@ -425,7 +478,7 @@ class ShardedPairEngine:
         self._fusedp = build_fused_pair(
             self.g_loc, d.sc, d.fcc, dtype=jnp.float32 if d.dtype ==
             np.float32 else jnp.float64, TX=TX, interpret=interpret,
-            in_pts=np.stack([gx, gy, gz], 1), planes=planes,
+            in_pts=np.stack([gx, gy, gz], 1), planes=planes_build,
             shard=(S, g.Nx))
         self._build()
 
@@ -444,8 +497,9 @@ class ShardedPairEngine:
         def shard_fn(u0, u1, vh, gh, out_prev, sigs_T, C):
             scal = C["scal"][0]
             ipts = C["ipts"][0]
-            states0 = {f: (vh[f], gh[f]) for f in fams}
+            xpr = C["xpr"][0] if "xpr" in C else None
             pconsts = {f: (C[f"{f}ssaf"], C[f"{f}coefs"]) for f in fams}
+            zy = [f for f in fams if f != "x"]
 
             def step(carry, sig2):
                 u0, u1, vh1, gh1, out_prev = carry
@@ -458,15 +512,18 @@ class ShardedPairEngine:
                     u1 = u1.at[S + 2:S + 4].set(from_right)
                 states = {f: (vh1[f], gh1[f]) for f in fams}
                 u3, u2, ns = fusedp(u1, u0, C["adj"], sig2, states,
-                                    pconsts, scal=scal, ipts=ipts)
-                if D > 1 and fams:
+                                    pconsts, scal=scal, ipts=ipts,
+                                    xpr=xpr)
+                if D > 1 and zy:
                     # stage 2 updates the duplicated edge-row plane states
                     # from the (by design) stale u2 ghost: overwrite each
                     # ghost state row with the neighbour's REAL row (edge
                     # shards receive zeros - their ghost rows are global
-                    # halos with ssaf = 0, identity ODE)
+                    # halos with ssaf = 0, identity ODE).  x-plane states
+                    # are plane-major and never duplicated (rejected at
+                    # construction), so only z/y exchange
                     ns = dict(ns)
-                    for f in fams:
+                    for f in zy:
                         vhf, ghf = ns[f]
                         vl = jax.lax.ppermute(vhf[S + 1:S + 2], "x", fwd)
                         gl = jax.lax.ppermute(ghf[S + 1:S + 2], "x", fwd)
@@ -496,9 +553,12 @@ class ShardedPairEngine:
             "adj": P("x"), "scal": P("x"), "ipts": P("x"),
             "out_loc": P("x"), "out_mask": P("x"),
         }
+        if self._xpr is not None:
+            specs["xpr"] = P("x")
         for f in fams:
             specs[f + "ssaf"] = P("x")
-            specs[f + "coefs"] = P()
+            # x-plane materials differ per shard; z/y coefs are global
+            specs[f + "coefs"] = P("x") if f == "x" else P()
         fn = jax.shard_map(
             shard_fn, mesh=mesh,
             in_specs=(P("x"), P("x"), st_spec, st_spec, P(), P(), specs),
@@ -531,6 +591,8 @@ class ShardedPairEngine:
 
         C = {"adj": self._adj_loc, "scal": self._scal, "ipts": self._ipts,
              "out_loc": self._out_loc, "out_mask": self._out_mask}
+        if self._xpr is not None:
+            C["xpr"] = self._xpr
         C.update(self._pconsts)
 
         t0 = time.perf_counter()

@@ -36,22 +36,22 @@ def _rigidify_x_walls(sim):
     return replace(sim, vox=replace(vox, mat_bn=mat))
 
 
-def _compare(sim, tol=2e-5):
+def _compare(sim, tol=2e-5, Ds=(1, 4)):
     jx = JaxEngine(consts=sim.consts, vox=sim.vox, comms=sim.comms,
                    mats=sim.mats, dtype=np.float32, backend="xla")
     jx.run(verbose=False)
     outs = {}
-    for D in (1, 4):
+    for D in Ds:
         sp = ShardedPairEngine(consts=sim.consts, vox=sim.vox,
                                comms=sim.comms, mats=sim.mats,
                                mesh=make_mesh(D), dtype=np.float32,
                                interpret=True)
         sp.run(verbose=False)
         outs[D] = sp.u_out
-    nt = outs[1].shape[1]
-    assert np.array_equal(outs[1], outs[4])
+    nt = outs[Ds[0]].shape[1]
+    assert np.array_equal(outs[Ds[0]], outs[Ds[-1]])
     scale = np.abs(jx.u_out).max()
-    assert np.abs(outs[4] - jx.u_out[:, :nt]).max() / scale < tol
+    assert np.abs(outs[Ds[-1]] - jx.u_out[:, :nt]).max() / scale < tol
 
 
 def test_sharded_pair_rigid_cart():
@@ -89,13 +89,25 @@ def test_sharded_pair_lossy_fcc_folded(monkeypatch):
     _compare(_rigidify_x_walls(_pad_divisible(sim)), tol=1e-4)
 
 
-def test_sharded_pair_rejects_x_planes(monkeypatch):
+def test_sharded_pair_lossy_x_planes(monkeypatch):
+    """Lossy x-walls stay on the multi-chip fast path: runtime x-plane
+    rows keep the SPMD program shard-uniform (round-3 VERDICT item 4)."""
     monkeypatch.setenv("PFFDTD_ZPLANE_MIN_COUNT", "1")
     monkeypatch.setenv("PFFDTD_ZPLANE_MIN_DENSITY", "0.3")
-    sim = synthetic_box_sim(2.5, 2.0, 1.6, h=0.1, Nt=10, lossy=True,
+    sim = synthetic_box_sim(2.5, 2.0, 1.6, h=0.1, Nt=30, lossy=True,
                             insig_type="hann10", diff_source=False)
-    sim = _pad_divisible(sim)
-    with pytest.raises(ValueError, match="x-normal"):
-        ShardedPairEngine(consts=sim.consts, vox=sim.vox, comms=sim.comms,
-                          mats=sim.mats, mesh=make_mesh(4),
-                          dtype=np.float32, interpret=True)
+    _compare(_pad_divisible(sim), tol=1e-4)
+
+
+def test_sharded_pair_lossy_x_planes_fcc(monkeypatch):
+    monkeypatch.setenv("PFFDTD_ZPLANE_MIN_COUNT", "1")
+    monkeypatch.setenv("PFFDTD_ZPLANE_MIN_DENSITY", "0.12")
+    from pffdtd_tpu.prep import fold_fcc_sim, rotate_sim, sort_sim
+
+    sim = synthetic_box_sim(2.2, 1.8, 1.5, h=0.12, Nt=30, lossy=True,
+                            fcc=True, insig_type="hann10",
+                            diff_source=False)
+    sim = sort_sim(fold_fcc_sim(rotate_sim(sim)))
+    # D=2: this scene's x-walls land on D=4 overlap rows (correctly
+    # rejected); mid-shard at D=2 exercises the runtime-row path
+    _compare(_pad_divisible(sim, D=4), tol=1e-4, Ds=(1, 2))
