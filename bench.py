@@ -215,9 +215,11 @@ def main():
         try:
             # the reference's defining capability is billion-voxel grids
             # (8.95e9-32.4e9 across GPUs, pffdtd_benchmarks.csv:36-50);
-            # one v5e fits ~1.1e9 rigid Cartesian voxels (u0+u1 fp32 ~9 GB)
+            # one v5e fits ~1.1e9 rigid Cartesian voxels (u0+u1 fp32
+            # ~9 GB).  Long-thin dims keep the (y, z) plane row small
+            # enough for TX >= 4 VMEM tiles (the rotate-to-x methodology)
             secondary["cart_rigid_1e9"] = run_synthetic(
-                False, False, 56.0, 41.0, 46.2, h, nt,
+                False, False, 150.0, 25.0, 28.6, h, nt,
                 tag="cart_rigid_1e9")
         except Exception as e:  # noqa: BLE001
             print(f"  cart_rigid_1e9 failed: {e}", file=sys.stderr)

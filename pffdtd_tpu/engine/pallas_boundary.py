@@ -257,7 +257,7 @@ def build_boundary_update(bt: BoundaryTiles, sc, n_elements, dtype=jnp.float32,
     (unew', vh0, gh_new).
 
     unew/u0: flat grids of n_elements (a multiple of bt.wr*128); vh1/gh1:
-    (MMb, n_tiles*T) in tile order.  node_data must be threaded through the
+    (n_tiles, MMb, T) in tile order.  node_data must be threaded through the
     caller's jit as explicit inputs.
     """
     T, WR = bt.T, bt.wr  # noqa: N806 — shadow the module defaults on purpose
@@ -312,8 +312,8 @@ def build_boundary_update(bt: BoundaryTiles, sc, n_elements, dtype=jnp.float32,
         beta = co[:, 4 * MMb]             # (T,)
 
         sa = ssaf[pl.ds(j, 1)][0]
-        vh = vh1[...]                     # (MMb, T)
-        gh = gh1[...]
+        vh = vh1[0]                       # (MMb, T)
+        gh = gh1[0]
         lo2Kbg = lo2 * sa * beta
         ub_new = ub - l * sa * jnp.sum(2.0 * bDh * vh - bFh * gh, 0)
         ub_new = (ub_new + lo2Kbg * u2b) / (one + lo2Kbg)
@@ -324,12 +324,12 @@ def build_boundary_update(bt: BoundaryTiles, sc, n_elements, dtype=jnp.float32,
         scat = _dot_onehot_exact(G.T, delta[:, None] * L, dtype)
         out_w[0] = win + scat
         ub_o[pl.ds(j, 1)] = ub_new[None]
-        vh0_o[...] = vh0
-        gh_o[...] = gh_new
+        vh0_o[0] = vh0
+        gh_o[0] = gh_new
 
     win_map = lambda i, win_ids, first: (win_ids[i], 0, 0)
     vec_map = lambda i, win_ids, first: (i // 8, 0)  # (8, T) per-node blocks
-    st_map = lambda i, win_ids, first: (0, i)      # (MMb, T) state blocks
+    st_map = lambda i, win_ids, first: (i, 0, 0)   # (1, MMb, T) states
     tbl_map = lambda i, win_ids, first: (0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -343,14 +343,14 @@ def build_boundary_update(bt: BoundaryTiles, sc, n_elements, dtype=jnp.float32,
             pl.BlockSpec((8, T), vec_map),            # ssaf
             pl.BlockSpec((8, T), vec_map),            # mat
             pl.BlockSpec(bt.table.shape, tbl_map),    # coefficient table
-            pl.BlockSpec((MMb, T), st_map),           # vh1
-            pl.BlockSpec((MMb, T), st_map),           # gh1
+            pl.BlockSpec((1, MMb, T), st_map),        # vh1
+            pl.BlockSpec((1, MMb, T), st_map),        # gh1
         ],
         out_specs=[
             pl.BlockSpec((1, WR, 128), win_map),      # updated windows
             pl.BlockSpec((8, T), vec_map),            # ub (next step's u2b)
-            pl.BlockSpec((MMb, T), st_map),           # vh0
-            pl.BlockSpec((MMb, T), st_map),           # gh_new
+            pl.BlockSpec((1, MMb, T), st_map),        # vh0
+            pl.BlockSpec((1, MMb, T), st_map),        # gh_new
         ],
     )
 
@@ -377,8 +377,8 @@ def build_boundary_update(bt: BoundaryTiles, sc, n_elements, dtype=jnp.float32,
             out_shape=[
                 jax.ShapeDtypeStruct((NW, WR, 128), dtype),
                 jax.ShapeDtypeStruct((n_tiles, T), dtype),
-                jax.ShapeDtypeStruct((MMb, n_tiles * T), dtype),
-                jax.ShapeDtypeStruct((MMb, n_tiles * T), dtype),
+                jax.ShapeDtypeStruct((n_tiles, MMb, T), dtype),
+                jax.ShapeDtypeStruct((n_tiles, MMb, T), dtype),
             ],
             # out windows alias unew; u2b/vh/gh alias their inputs
             input_output_aliases={2: 0, 3: 1, 9: 2, 10: 3},
@@ -457,14 +457,16 @@ def build_boundary_ring(bt: BoundaryTiles, sc, n_elements, dtype=jnp.float32,
             # so: (2, 2, MMb, 8T) vh0/gh out ring
 
             def win_in(q):
+                qk = jax.lax.rem(jnp.int32(q), jnp.int32(K))
                 return pltpu.make_async_copy(
-                    uw.at[seqw[q]], wbuf.at[jax.lax.rem(jnp.int32(q), jnp.int32(K))],
-                    sem_win_in.at[jax.lax.rem(jnp.int32(q), jnp.int32(K))])
+                    uw.at[pl.ds(seqw[q], 1)], wbuf.at[pl.ds(qk, 1)],
+                    sem_win_in.at[qk])
 
             def win_out(q):
+                qk = jax.lax.rem(jnp.int32(q), jnp.int32(K))
                 return pltpu.make_async_copy(
-                    wbuf.at[jax.lax.rem(jnp.int32(q), jnp.int32(K))], out_w.at[seqw[q]],
-                    sem_win_out.at[jax.lax.rem(jnp.int32(q), jnp.int32(K))])
+                    wbuf.at[pl.ds(qk, 1)], out_w.at[pl.ds(seqw[q], 1)],
+                    sem_win_out.at[qk])
 
             def grp_in(g):
                 s = g % 2
@@ -480,10 +482,10 @@ def build_boundary_ring(bt: BoundaryTiles, sc, n_elements, dtype=jnp.float32,
                     pltpu.make_async_copy(mat.at[pl.ds(g * 8, 8)],
                                           nb.at[s, 4], sem_nb.at[s, 4]),
                     pltpu.make_async_copy(
-                        vh1.at[:, pl.ds(g * 8 * T, 8 * T)],
+                        vh1.at[pl.ds(g * 8, 8)],
                         st.at[s, 0], sem_st.at[s, 0]),
                     pltpu.make_async_copy(
-                        gh1.at[:, pl.ds(g * 8 * T, 8 * T)],
+                        gh1.at[pl.ds(g * 8, 8)],
                         st.at[s, 1], sem_st.at[s, 1]),
                 ]
 
@@ -494,10 +496,10 @@ def build_boundary_ring(bt: BoundaryTiles, sc, n_elements, dtype=jnp.float32,
                                           ub_o.at[pl.ds(g * 8, 8)],
                                           sem_ob.at[s]),
                     pltpu.make_async_copy(
-                        so.at[s, 0], vh0_o.at[:, pl.ds(g * 8 * T, 8 * T)],
+                        so.at[s, 0], vh0_o.at[pl.ds(g * 8, 8)],
                         sem_so.at[s, 0]),
                     pltpu.make_async_copy(
-                        so.at[s, 1], gh_o.at[:, pl.ds(g * 8 * T, 8 * T)],
+                        so.at[s, 1], gh_o.at[pl.ds(g * 8, 8)],
                         sem_so.at[s, 1]),
                 ]
 
@@ -553,8 +555,8 @@ def build_boundary_ring(bt: BoundaryTiles, sc, n_elements, dtype=jnp.float32,
                 beta = co[:, 4 * MMb]
 
                 sa = nb[s, 3, j]
-                vh = st[s, 0, :, j * T:(j + 1) * T]   # (MMb, T)
-                gh = st[s, 1, :, j * T:(j + 1) * T]
+                vh = st[s, 0, j]                      # (MMb, T)
+                gh = st[s, 1, j]
                 lo2Kbg = lo2 * sa * beta
                 ub_new = ubv - l * sa * jnp.sum(2.0 * bDh * vh - bFh * gh, 0)
                 ub_new = (ub_new + lo2Kbg * u2b) / (one + lo2Kbg)
@@ -565,8 +567,8 @@ def build_boundary_ring(bt: BoundaryTiles, sc, n_elements, dtype=jnp.float32,
                 scat = _dot_onehot_exact(G.T, delta[:, None] * Lm, dtype)
                 wbuf[qk] = win + scat
                 ob[s, j] = ub_new
-                so[s, 0, :, j * T:(j + 1) * T] = vh0
-                so[s, 1, :, j * T:(j + 1) * T] = gh_new
+                so[s, 0, j] = vh0
+                so[s, 1, j] = gh_new
 
             def rows_i32(s, j):
                 return nb[s, 1, j].astype(jnp.int32)
@@ -608,9 +610,9 @@ def build_boundary_ring(bt: BoundaryTiles, sc, n_elements, dtype=jnp.float32,
             body,
             wbuf=pltpu.VMEM((K, WR, 128), dtype),
             nb=pltpu.VMEM((2, 5, 8, T), dtype),
-            st=pltpu.VMEM((2, 2, MMb, 8 * T), dtype),
+            st=pltpu.VMEM((2, 2, 8, MMb, T), dtype),
             ob=pltpu.VMEM((2, 8, T), dtype),
-            so=pltpu.VMEM((2, 2, MMb, 8 * T), dtype),
+            so=pltpu.VMEM((2, 2, 8, MMb, T), dtype),
             sem_win_in=pltpu.SemaphoreType.DMA((K,)),
             sem_win_out=pltpu.SemaphoreType.DMA((K,)),
             sem_nb=pltpu.SemaphoreType.DMA((2, 5)),
@@ -643,8 +645,8 @@ def build_boundary_ring(bt: BoundaryTiles, sc, n_elements, dtype=jnp.float32,
             out_shape=[
                 jax.ShapeDtypeStruct((NW, WR, 128), dtype),
                 jax.ShapeDtypeStruct((n_tiles, T), dtype),
-                jax.ShapeDtypeStruct((MMb, n_tiles * T), dtype),
-                jax.ShapeDtypeStruct((MMb, n_tiles * T), dtype),
+                jax.ShapeDtypeStruct((n_tiles, MMb, T), dtype),
+                jax.ShapeDtypeStruct((n_tiles, MMb, T), dtype),
             ],
             in_specs=[smem] * 5 + [anyb] * 6
             + [pl.BlockSpec(memory_space=pltpu.VMEM)] + [anyb] * 2,
@@ -1225,7 +1227,11 @@ class BoundaryHybrid:
             vh["d"] = (self.dense.n_sub, MMb, SUBW)
             u2b["d"] = (self.dense.n_sub * SUBW,)
         if self.tiles is not None:
-            vh["t"] = (MMb, self.tiles.n_tiles * self.tiles.T)
+            # (n_tiles, MMb, T): tile-major so manual DMA rings can slice
+            # whole tiles on dim 0 (a lane-offset slice of the old
+            # (MMb, N) layout is not a legal Mosaic DMA); the sublane pad
+            # 12->16 costs the same either way
+            vh["t"] = (self.tiles.n_tiles, MMb, self.tiles.T)
             u2b["t"] = (self.tiles.n_tiles * self.tiles.T,)
         if self.zplanes is not None:
             vh["z"] = self.zplanes.state_shape(self.Nxp)

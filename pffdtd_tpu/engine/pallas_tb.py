@@ -3,41 +3,48 @@
 Generalises the pair kernel (pallas_pair.py, TB=2) to TB in {2..8}: one
 sweep over x-row tiles advances (u^{n-1}, u^n) -> (u^{n+TB-1}, u^{n+TB}),
 reading u^n / u^{n-1} / adjacency ONCE and writing the two final fields
-ONCE.  HBM bytes per step shrink by ~TB/2 vs the pair kernel (~4.5 grids +
+ONCE.  HBM bytes per step shrink by ~TB/2 vs the pair kernel (~4 grids +
 overheads per TB steps), which matters because the v5e pair kernel is
 DMA-floor-bound (measured ~460 GB/s of 819 with everything ablated).
 
 Pipeline (stages run in ascending order inside one visit t):
 
-    stage 1 (step n)      : F2 rows of tile t        = f(u1 slab, u0)
-    stage s (step n+s-1)  : F[s+1] rows of tile t-s+1 = f(F[s] slab, F[s-1])
+    stage 1 (step n)      : F2 rows of tile t         = f(u1, u0)
+    stage s (step n+s-1)  : F[s+1] rows of tile t-s+1 = f(F[s], F[s-1])
     stage TB (step n+TB-1): output rows of tile t-TB+1
 
-Every stage trails its producer by exactly one tile, so each intermediate
-field lives only in a 3-deep VMEM ring of TX-row blocks — never in HBM.
-All per-step physics is applied in-kernel while the rows are resident:
-halo mirror flips, the adjacency-masked stencil + leapfrog (or the
-unmasked bulk + static-plane masked fix-ups in adj-planes mode), the
-Engquist-Majda ABC, the frequency-dependent impedance ODE on z/y/x-normal
-boundary planes, per-stage source injection, and per-stage receiver taps
-for the intermediate steps that never reach HBM (final-field taps stay
-outside the kernel, as in the pair engine).
+Every stage trails its producer by exactly one tile.  Each field F[j]
+lives in a CIRCULAR VMEM row buffer of 3*TX+2 rows: tile tau occupies
+rows [1+(tau%3)*TX, ..+TX) and the (TX+2)-row stencil window of tile tau
+is the CONTIGUOUS slice starting at (tau%3)*TX, thanks to two one-row
+margin duplicates kept up to date by the writer (slot-0 writes copy
+their first row to the tail margin, slot-2 writes their last row to the
+head margin).  Compared to the round-3 first cut (3-slot rings plus a
+per-stage assembly slab), this kills the (TX+2)-row copy per stage-tile
+and the 2-row u1 re-read per visit, and the saved VMEM buys larger TX -
+the dominant cost at benchmark scale is a fixed ~18 us per stage-tile,
+and stage-tiles per step = (Nx-2)/TX regardless of TB.
+
+All per-step physics is applied in-kernel while rows are resident: halo
+mirror flips (idempotent, applied by the consuming stage on its window),
+the adjacency-masked stencil + leapfrog (or unmasked bulk + static-plane
+fix-ups in adj-planes mode), the Engquist-Majda ABC, the z/y/x-normal
+impedance-plane ODEs, per-stage source injection, and per-stage SMEM
+receiver taps for the intermediate steps that never reach HBM.
 
 DANGER - aliasing: F[TB] overwrites u0's HBM buffer and F[TB+1]
 overwrites u1's.  The schedule keeps every read ahead of the aliased
-writes: at visit t the F[TB] ring flush covers rows <= (t-TB+3)*TX while
-visit t+1's u0 prefetch reads rows >= (t+1)*TX+1 (TB >= 2 keeps the
-inequality strict); F[TB+1] staging flushes rows <= (t-TB+2)*TX against
-u1 slab reads >= (t+1)*TX.  Plane states alias the same way with writes
-TB-1 tiles behind the prefetched reads.
+writes exactly as in the pair kernel (writes trail the prefetched reads
+by >= TB-1 tiles).  Halo lanes of the OUTPUT fields are garbage by
+convention (every sweep's flips rebuild them from interior lanes before
+any real use), which makes the window-flip-vs-output-DMA overlap benign.
 
-Ring-lifetime cheat-sheet (slots indexed by TILE number):
-    u1 slab        3 slots   (stencil stage 1, prev stage 2)
-    u0 blocks      2 slots
-    F[j] rings     3 slots   (stencil stage j at +-1 tile, prev stage j+1)
-    adjacency      TB+1 slots (read by every stage, masked mode)
-    z/y ssaf       TB+1 slots
-    z/y ODE states TB+1 levels x 2 slots (level l = state after l steps)
+Ring-lifetime cheat-sheet:
+    F[j] circular buffers   3*TX+2 rows (stencil at +-1 tile, prev)
+    u0 blocks               2*TX rows   (stage-1 prev only)
+    final staging           2*TX rows
+    adjacency / ssaf        TB+1 tile slots (read by every stage)
+    z/y ODE state levels    TB+1 levels x 2 tile slots
 
 Reference anchors: leapfrog + rigid update gpu_engine.h:220-348; ABC
 cpu_engine.h:144-172,224-229; boundary ODE cpu_engine.h:362-405; the
@@ -67,7 +74,7 @@ def _roll(x, shift, axis):
     return pltpu.roll(x, shift % x.shape[axis], axis=axis)
 
 
-def build_fused_tb(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 4,
+def build_fused_tb(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                    TB: int = 4, interpret: bool = False, in_pts=None,
                    out_pts=None, planes=None,
                    adj_planes: AdjPlanes | None = None):
@@ -96,7 +103,12 @@ def build_fused_tb(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 4,
     NXT = -(-(Nx - 2) // TX)
     assert Nxp >= NXT * TX + 2, (Nxp, NXT, TX)
     NV = NXT + TB - 1           # visits
-    RD = TB + 1                 # deep-ring depth (adj / ssaf)
+    RD = TB + 1                 # deep-slot depth (adj / ssaf)
+    RC = 3 * TX + 2             # circular rows per intermediate field
+    # u1 rows live across THREE visits (stencil window at -1/0/+1 tiles
+    # plus the stage-2 prev read) while the DMA is issued two visits
+    # ahead, so its circular buffer cycles over FOUR tile slots
+    RC1 = 4 * TX + 2
 
     npdt = np.float32 if dtype == jnp.float32 else np.float64
     a2 = npdt(sc.a2)
@@ -178,16 +190,18 @@ def build_fused_tb(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 4,
         xvo_h = next(it) if PX else None
         xgo_h = next(it) if PX else None
 
-        def body(slab, u0b, adjb, rings, uNb, asm,
+        def body(C, u0b, uNb, adjb,
                  zv, zg, zsf, yv, yg, ysf, xv, xg, xsb,
                  zadr, yadr, xadb,
-                 sem_u1, sem_u0, sem_adj, sem_oN, sem_oF, sem_pre,
-                 sem_zin, sem_zout, sem_zsf, sem_yin, sem_yout, sem_ysf,
-                 sem_xi, sem_xo, sem_az, sem_ay, sem_ax):
-            # rings: tuple of 3-deep (3, TX, Nyp, Nzp) rings for F[2..TB]
-            # (ring index j-2 holds field F[j]); uNb: (2, TX) staging of
-            # F[TB+1]; asm: tuple of (TX+2) assembly slabs for stages 2..TB
-            # zv/zg: tuples of TB+1 state levels, each (2, TX, PZ, MZ, Nyw)
+                 sem_u1, sem_u1m, sem_u0, sem_adj, sem_oN, sem_oF,
+                 sem_pre, sem_zin, sem_zout, sem_zsf, sem_yin, sem_yout,
+                 sem_ysf, sem_xi, sem_xo, sem_az, sem_ay, sem_ax):
+            # C: tuple of TB circular (RC, Nyp, Nzp) field buffers
+            # (C[0] = u1 = F[1], C[j-1] = F[j]); u0b/uNb: (2*TX, ...) flat
+            # slot pairs; zv/zg: tuples of TB+1 state levels
+
+            def off_of(tau):
+                return 1 + jax.lax.rem(jnp.int32(tau), jnp.int32(3)) * TX
 
             def z_in(t):
                 rs = t * TX + 1
@@ -239,29 +253,68 @@ def build_fused_tb(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 4,
                                           sem_yout.at[tt % 2, 1]),
                 ]
 
+            def u1_main(t):
+                # TX new rows per tile into the 4-cycle u1 buffer
+                return pltpu.make_async_copy(
+                    u1_h.at[pl.ds(t * TX + 1, TX)],
+                    C[0].at[pl.ds(1 + (t % 4) * TX, TX)],
+                    sem_u1.at[t % 4])
+
+            def u1_margin(t, which):
+                # which 0: slot-0 tile's first row -> tail margin; 1:
+                # slot-3 tile's last row -> head margin (straight from HBM)
+                if which == 0:
+                    return pltpu.make_async_copy(
+                        u1_h.at[pl.ds(t * TX + 1, 1)],
+                        C[0].at[pl.ds(4 * TX + 1, 1)], sem_u1m.at[0])
+                return pltpu.make_async_copy(
+                    u1_h.at[pl.ds(t * TX + TX, 1)],
+                    C[0].at[pl.ds(0, 1)], sem_u1m.at[1])
+
+            def u1_issue(t):
+                u1_main(t).start()
+
+                @pl.when(jax.lax.rem(jnp.int32(t), jnp.int32(4)) == 0)
+                def _():
+                    u1_margin(t, 0).start()
+
+                @pl.when(jax.lax.rem(jnp.int32(t), jnp.int32(4)) == 3)
+                def _():
+                    u1_margin(t, 1).start()
+
+            def u1_wait(t):
+                u1_main(t).wait()
+
+                @pl.when(jax.lax.rem(jnp.int32(t), jnp.int32(4)) == 0)
+                def _():
+                    u1_margin(t, 0).wait()
+
+                @pl.when(jax.lax.rem(jnp.int32(t), jnp.int32(4)) == 3)
+                def _():
+                    u1_margin(t, 1).wait()
+
             def grid_in(t):
-                rs = t * TX
                 cps = [
-                    pltpu.make_async_copy(u1_h.at[pl.ds(rs, TX + 2)],
-                                          slab.at[t % 3], sem_u1.at[t % 3]),
-                    pltpu.make_async_copy(u0_h.at[pl.ds(rs + 1, TX)],
-                                          u0b.at[t % 2], sem_u0.at[t % 2]),
+                    pltpu.make_async_copy(u0_h.at[pl.ds(t * TX + 1, TX)],
+                                          u0b.at[pl.ds((t % 2) * TX, TX)],
+                                          sem_u0.at[t % 2]),
                 ]
                 if not NOFULL:
                     cps.append(
-                        pltpu.make_async_copy(adj_h.at[pl.ds(rs + 1, TX)],
-                                              adjb.at[t % RD],
-                                              sem_adj.at[t % RD]))
+                        pltpu.make_async_copy(
+                            adj_h.at[pl.ds(t * TX + 1, TX)],
+                            adjb.at[pl.ds((t % RD) * TX, TX)],
+                            sem_adj.at[t % RD]))
                 if AZ:
                     cps.append(
-                        pltpu.make_async_copy(zadj_h.at[pl.ds(rs + 1, TX)],
-                                              zadr.at[t % RD],
-                                              sem_az.at[t % RD]))
+                        pltpu.make_async_copy(
+                            zadj_h.at[pl.ds(t * TX + 1, TX)],
+                            zadr.at[t % RD], sem_az.at[t % RD]))
                 if AY:
                     cps.append(
-                        pltpu.make_async_copy(yadj_h.at[pl.ds(rs + 1, TX)],
-                                              yadr.at[t % RD],
-                                              sem_ay.at[t % RD]))
+                        pltpu.make_async_copy(
+                            yadj_h.at[pl.ds(t * TX + 1, TX)],
+                            yadr.at[t % RD], sem_ay.at[t % RD]))
                 return cps
 
             def start_in(t):
@@ -283,16 +336,16 @@ def build_fused_tb(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 4,
                     c.wait()
 
             def outN_copy(tt):
-                # F[TB] flush: its ring slot keeps serving stage TB reads
-                # (DMA only reads); wait before the slot is REwritten
+                # F[TB] flush straight from its circular buffer (the DMA
+                # only reads; wait before the rows are REwritten)
                 return pltpu.make_async_copy(
-                    rings[TB - 2].at[tt % 3],
+                    C[TB - 1].at[pl.ds(1 + (tt % 3) * TX, TX)],
                     uN_h.at[pl.ds(tt * TX + 1, TX)], sem_oN.at[tt % 3])
 
             def outF_copy(tt):
                 return pltpu.make_async_copy(
-                    uNb.at[tt % 2], uN1_h.at[pl.ds(tt * TX + 1, TX)],
-                    sem_oF.at[tt % 2])
+                    uNb.at[pl.ds((tt % 2) * TX, TX)],
+                    uN1_h.at[pl.ds(tt * TX + 1, TX)], sem_oF.at[tt % 2])
 
             # output rows the tile loop never writes (global halo row 0 and
             # the x padding tail) are filled from the pre-update fields
@@ -308,34 +361,56 @@ def build_fused_tb(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 4,
                 pltpu.make_async_copy(u1_h.at[pl.ds(tail0, Nxp - tail0)],
                                       uN1_h.at[pl.ds(tail0, Nxp - tail0)],
                                       sem_pre.at[3]),
+                # global halo row 0 of u1 -> the u1 circular head margin
+                # (the very first stencil window starts at it)
+                pltpu.make_async_copy(u1_h.at[pl.ds(0, 1)],
+                                      C[0].at[pl.ds(0, 1)], sem_pre.at[4]),
             ]
             for c in pre:
                 c.start()
 
             start_in(0)
+            u1_issue(0)
+            if NXT > 1:
+                u1_issue(1)
 
-            def apply_flips(ref, base_t):
-                """Mirror halo flips on a (TX+2, Nyp, Nzp) slab ref whose
-                local row 0 is global row base_t*TX."""
+            def margins(buf, tau):
+                """Keep the circular margins coherent after writing tile
+                tau: slot-0 first row -> tail, slot-2 last row -> head."""
+                rem3 = jax.lax.rem(jnp.int32(tau), jnp.int32(3))
+
+                @pl.when(rem3 == 0)
+                def _():
+                    buf[pl.ds(3 * TX + 1, 1)] = buf[pl.ds(1, 1)]
+
+                @pl.when(rem3 == 2)
+                def _():
+                    buf[pl.ds(0, 1)] = buf[pl.ds(3 * TX, 1)]
+
+            def apply_flips(buf, woff, base_t):
+                """Mirror halo flips on the (TX+2)-row window of `buf`
+                starting at traced row woff (window row 0 = global row
+                base_t*TX).  Idempotent - overlapping windows re-apply."""
                 if "flips" in ABLATE:
                     return
-                ref[:, :, 0] = ref[:, :, 2]
-                ref[:, :, Nz - 1] = ref[:, :, Nz - 3]
-                ref[:, 0, :] = ref[:, 2, :]
+                w = pl.ds(woff, TX + 2)
+                buf[w, :, 0] = buf[w, :, 2]
+                buf[w, :, Nz - 1] = buf[w, :, Nz - 3]
+                buf[w, 0, :] = buf[w, 2, :]
                 if folded:
-                    ref[:, Ny - 1, :] = ref[:, Ny - 2, :]
+                    buf[w, Ny - 1, :] = buf[w, Ny - 2, :]
                 else:
-                    ref[:, Ny - 1, :] = ref[:, Ny - 3, :]
+                    buf[w, Ny - 1, :] = buf[w, Ny - 3, :]
 
                 @pl.when(base_t == 0)
                 def _():
-                    ref[0] = ref[2]
+                    buf[pl.ds(woff, 1)] = buf[pl.ds(woff + 2, 1)]
 
                 j = Nx - 1 - base_t * TX
 
                 @pl.when((j >= 2) & (j <= TX + 1))
                 def _():
-                    ref[pl.ds(j, 1)] = ref[pl.ds(j - 2, 1)]
+                    buf[pl.ds(woff + j, 1)] = buf[pl.ds(woff + j - 2, 1)]
 
             HY = -(-Nyp // 8)
             HY = -(-HY // 8) * 8
@@ -398,7 +473,7 @@ def build_fused_tb(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 4,
                     K = bit if K is None else K + bit
                 return (two - sl2 * K) * u1c - prev + a2 * acc
 
-            def adj_fixup(outr, oslot, rdfull, rd, rdprev, aslot):
+            def adj_fixup(outr, obase, rdfull, rd, rdprev, aslot):
                 """Masked-stencil rewrite of the z/y cover planes (sheets
                 cached across planes, see pallas_pair.adj_fixup)."""
                 sheets = {}
@@ -408,6 +483,7 @@ def build_fused_tb(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 4,
                         sheets[z] = rdfull(z)
                     return sheets[z]
 
+                ob = pl.ds(obase, TX)
                 for p in range(AZ):
                     zl = za_lanes[p]
                     a32 = zadr[aslot, :, p, :][:, :Nyp]     # (TX, Nyp)
@@ -416,9 +492,9 @@ def build_fused_tb(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 4,
                         nb = sheet(zl + dz)[1 + dx:1 + dx + TX, :]
                         return _roll(nb, -dy, 1) if dy else nb
 
-                    outr[oslot, :, :, zl] = _masked_val(
+                    outr[ob, :, zl] = _masked_val(
                         a32, rdz, sheet(zl)[1:1 + TX, :],
-                        rdprev(slice(None), zl))
+                        rdprev(slice(0, TX), slice(None), zl))
                 for p in range(AY):
                     yl = ya_subl[p]
                     a32 = yadr[aslot, :, p, :]              # (TX, Nzp)
@@ -427,11 +503,11 @@ def build_fused_tb(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 4,
                         nb = rd(dx, yl + dy, slice(None))
                         return _roll(nb, -dz, 1) if dz else nb
 
-                    outr[oslot, :, yl, :] = _masked_val(
+                    outr[ob, yl, :] = _masked_val(
                         a32, rdy, rd(0, yl, slice(None)),
-                        rdprev(yl, slice(None)))
+                        rdprev(slice(0, TX), yl, slice(None)))
 
-            def adj_fixup_xrow(outr, oslot, r, p, rdrow, rdprevrow):
+            def adj_fixup_xrow(outr, obase, r, p, rdrow, rdprevrow):
                 """Masked-stencil rewrite of one x cover row (y-chunked)."""
                 cp = pltpu.make_async_copy(xadj_h.at[p], xadb, sem_ax.at[0])
                 cp.start()
@@ -449,18 +525,18 @@ def build_fused_tb(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 4,
                                        -dy, 0)
                         return _roll(nb, -dz, 1) if dz else nb
 
-                    outr[oslot, r, yc:yc + cy, :] = _masked_val(
+                    outr[pl.ds(obase + r, 1), yc:yc + cy, :] = _masked_val(
                         a32, rdx, rdrow(0, slice(yc, yc + cy)),
-                        rdprevrow(slice(yc, yc + cy)))
+                        rdprevrow(slice(yc, yc + cy)))[None]
 
-            def apply_abc(outr, slot, t, read_prev):
-                """Engquist-Majda ABC slices on an output block ref.
-
-                read_prev(rsl, ysl, zsl) returns the pre-update (u^{step-1})
-                rows for tile t; only thin slices of it are read."""
+            def apply_abc(outr, obase, t, read_prev):
+                """Engquist-Majda ABC slices on the output rows at traced
+                base obase; read_prev(rsl, ysl, zsl) returns the matching
+                pre-update (u^{step-1}) tile rows."""
                 if "abc" in ABLATE:
                     return
                 w1, w2, w3 = abc_w[1], abc_w[2], abc_w[3]
+                ob = pl.ds(obase, TX)
                 gz1 = jax.lax.broadcasted_iota(jnp.int32, (TX, Nzp), 1)
                 zext = ((gz1 == 1) | (gz1 == Nz - 2)).astype(jnp.int32)
                 gx1 = (jax.lax.broadcasted_iota(jnp.int32, (TX, Nzp), 0)
@@ -473,9 +549,9 @@ def build_fused_tb(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 4,
                     q = zext + xext + 1
                     qf = q.astype(dtype)
                     w = jnp.where(q == 1, w1, jnp.where(q == 2, w2, w3))
-                    vals = outr[slot, :, yf, :]
+                    vals = outr[ob, yf, :]
                     pv = read_prev(slice(0, TX), yf, slice(None))
-                    outr[slot, :, yf, :] = (vals + lv * qf * pv) * w
+                    outr[ob, yf, :] = (vals + lv * qf * pv) * w
                 gx2 = (jax.lax.broadcasted_iota(
                     jnp.int32, (TX, yhi - ylo), 0) + t * TX + 1)
                 xext2 = ((gx2 == 1) | (gx2 == Nx - 2)).astype(jnp.int32)
@@ -483,20 +559,21 @@ def build_fused_tb(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 4,
                     q = xext2 + 1
                     qf = q.astype(dtype)
                     w = jnp.where(q == 1, w1, w2)
-                    vals = outr[slot, :, ylo:yhi, zf]
+                    vals = outr[ob, ylo:yhi, zf]
                     pv = read_prev(slice(0, TX), slice(ylo, yhi), zf)
-                    outr[slot, :, ylo:yhi, zf] = (vals + lv * qf * pv) * w
+                    outr[ob, ylo:yhi, zf] = (vals + lv * qf * pv) * w
                 for r in range(TX):
                     gx_r = t * TX + 1 + r
 
                     @pl.when((gx_r == 1) | (gx_r == Nx - 2))
                     def _(r=r):
-                        vals = outr[slot, r, ylo:yhi, 2:Nz - 2]
-                        pv = read_prev(r, slice(ylo, yhi), slice(2, Nz - 2))
-                        outr[slot, r, ylo:yhi, 2:Nz - 2] = (
-                            vals + lv * pv) * w1
+                        vals = outr[pl.ds(obase + r, 1), ylo:yhi, 2:Nz - 2]
+                        pv = read_prev(r, slice(ylo, yhi),
+                                       slice(2, Nz - 2))
+                        outr[pl.ds(obase + r, 1), ylo:yhi, 2:Nz - 2] = (
+                            vals + lv * pv[None]) * w1
 
-            def inject(outr, slot, t, stage):
+            def inject(outr, obase, t, stage):
                 """Add the stage's source samples into rows owned by tile
                 t (sources sit in the interior, never on halo rows)."""
                 for i in range(Nin):
@@ -510,20 +587,20 @@ def build_fused_tb(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 4,
                             jnp.int32, (1, Nyp, Nzp), 2) == gz
                         m = (my & mz).astype(dtype)
                         r = gx - t * TX - 1
-                        outr[slot, pl.ds(r, 1)] = (
-                            outr[slot, pl.ds(r, 1)] + sig[stage, i] * m)
+                        outr[pl.ds(obase + r, 1)] = (
+                            outr[pl.ds(obase + r, 1)] + sig[stage, i] * m)
 
-            def take_taps(outr, slot, t, stage):
+            def take_taps(outr, obase, t, stage):
                 """Extract receiver-node values of an intermediate step
-                (stage 1..TB-2) into the SMEM taps output.  Coordinates
-                are static; only nodes owned by tile t fire."""
+                (stage 1..TB-2) into the SMEM taps output."""
                 for i in range(Nout):
                     gx, gy, gz = (int(v) for v in out_pts[i])
 
                     @pl.when((gx >= t * TX + 1) & (gx < t * TX + TX + 1))
                     def _(gx=gx, gy=gy, gz=gz, i=i):
                         r = gx - t * TX - 1
-                        taps_o[stage - 1, i] = outr[slot, r, gy, gz]
+                        taps_o[stage - 1, i] = \
+                            outr[pl.ds(obase + r, 1), gy, gz][0]
 
             def ode(ub, u2b, vh, gh, sa, co):
                 """One impedance-ODE step on dense plane values
@@ -542,16 +619,16 @@ def build_fused_tb(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 4,
                 gh_new = gh + half * (vh0 + vh)
                 return ub_new, vh0, gh_new
 
-            def zplane_stage(outr, slot, read_prev, vin, gin, vout, gout,
+            def zplane_stage(outr, obase, read_prev, vin, gin, vout, gout,
                              sfslot):
-                """z-normal plane ODE on an output block: static lane
-                extraction (zp_lanes are compile-time constants)."""
+                """z-normal plane ODE: static lane extraction."""
                 if "ode" in ABLATE or "odez" in ABLATE:
                     return
                 sa_all = zsf[sfslot]
+                ob = pl.ds(obase, TX)
                 for p in range(PZ):
                     zl = zp_lanes[p]
-                    ub = outr[slot, :, :, zl]               # (TX, Nyp)
+                    ub = outr[ob, :, zl]                    # (TX, Nyp)
                     u2b = read_prev(slice(0, TX), slice(None), zl)
                     if Nyw > Nyp:
                         zpad = jnp.zeros((TX, Nyw - Nyp), dtype)
@@ -561,31 +638,29 @@ def build_fused_tb(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 4,
                                               sa_all[:, p], zco[p])
                     vout[:, p] = vh0
                     gout[:, p] = gh_new
-                    outr[slot, :, :, zl] = (ub_new[:, :Nyp]
-                                            if Nyw > Nyp else ub_new)
+                    outr[ob, :, zl] = (ub_new[:, :Nyp]
+                                       if Nyw > Nyp else ub_new)
 
-            def yplane_stage(outr, slot, read_prev, vin, gin, vout, gout,
+            def yplane_stage(outr, obase, read_prev, vin, gin, vout, gout,
                              sfslot):
                 """y-normal plane ODE: static sublane extraction."""
                 if "ode" in ABLATE or "odey" in ABLATE:
                     return
                 sa_all = ysf[sfslot]
+                ob = pl.ds(obase, TX)
                 for p in range(PY):
                     yl = yp_subl[p]
-                    ub = outr[slot, :, yl, :]               # (TX, Nzp)
+                    ub = outr[ob, yl, :]                    # (TX, Nzp)
                     u2b = read_prev(slice(0, TX), yl, slice(None))
                     ub_new, vh0, gh_new = ode(ub, u2b, vin[:, p], gin[:, p],
                                               sa_all[:, p], yco[p])
                     vout[:, p] = vh0
                     gout[:, p] = gh_new
-                    outr[slot, :, yl, :] = ub_new
+                    outr[ob, yl, :] = ub_new
 
-            def xplane_pass(outr, oslot, r, p, read_prev_row, first):
+            def xplane_pass(outr, obase, r, p, read_prev_row, first):
                 """x-normal full-row plane ODE for plane p: (CY, MZ, Nzp)
-                y-chunks round-trip HBM per stage (stage 1 reads the input
-                state refs; later stages advance the aliased outputs in
-                place — each stage's chunk stream completes within its
-                visit, one visit before the next stage's reads)."""
+                y-chunks round-trip HBM per stage."""
                 if "ode" in ABLATE or "odex" in ABLATE:
                     return
                 vin_h = xvh_h if first else xvo_h
@@ -633,12 +708,12 @@ def build_fused_tb(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 4,
                         cp.wait()
                     yc = c * CY
                     cy = min(CY, Nyp - yc)
-                    ub = outr[oslot, r, yc:yc + cy, :]       # (cy, Nzp)
+                    ub = outr[pl.ds(obase + r, 1), yc:yc + cy, :][0]
                     u2b = read_prev_row(slice(yc, yc + cy))
                     ub_new, vh0, gh_new = ode(
                         ub, u2b, xv[sl, 0:cy], xg[sl, 0:cy],
                         xsb[sl, 0:cy, 0, :], xco[p])
-                    outr[oslot, r, yc:yc + cy, :] = ub_new
+                    outr[pl.ds(obase + r, 1), yc:yc + cy, :] = ub_new[None]
                     xv[sl, 0:cy] = vh0
                     xg[sl, 0:cy] = gh_new
                     for cp in cout(c, sl):
@@ -654,66 +729,60 @@ def build_fused_tb(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 4,
                 tau = t - (s - 1)
                 final = s == TB
                 writes_uN = s == TB - 1
-                oslot = tau % 2 if final else tau % 3
-                outr = uNb if final else rings[s - 1]
+                # u1 (C[0]) cycles over 4 tile slots, intermediates over 3
+                woff = (jax.lax.rem(jnp.int32(tau), jnp.int32(4)) * TX if s == 1
+                        else jax.lax.rem(jnp.int32(tau), jnp.int32(3)) * TX)
+                obase = (jax.lax.rem(jnp.int32(tau), jnp.int32(2)) * TX if final
+                         else off_of(tau))
+                outr = uNb if final else C[s]
+                src = C[s - 1]
 
                 if s == 1:
                     wait_in(t)
-                    slot = t % 3
-                    apply_flips(slab.at[slot], t)
 
-                    def rs(xo, ylo, hy):
-                        return slab[slot, xo:xo + TX, ylo:ylo + hy, :]
+                    @pl.when(t == 0)
+                    def _():
+                        u1_wait(0)
 
-                    def rdf(z):
-                        return slab[slot, 0:TX + 2, :, z]
+                    @pl.when(t + 1 < NXT)
+                    def _():
+                        u1_wait(t + 1)
+                apply_flips(src, woff, tau)
 
-                    def rd(dx, y, z):
-                        return slab[slot, 1 + dx:1 + dx + TX, y, z]
+                def rs(xo, ylo, hy):
+                    return src[pl.ds(woff + xo, TX), ylo:ylo + hy, :]
 
-                    def rd_row(i, ysl):
-                        return slab[slot, i, ysl, :]
+                def rdf(z):
+                    return src[pl.ds(woff, TX + 2), :, z]
+
+                def rd(dx, y, z):
+                    return src[pl.ds(woff + 1 + dx, TX), y, z]
+
+                def rd_row(i, ysl):
+                    return src[pl.ds(woff + i, 1), ysl, :][0]
+
+                if s == 1:
+                    pb = jax.lax.rem(jnp.int32(tau), jnp.int32(2)) * TX
 
                     def rp(rsl, ysl, zsl):
-                        return u0b[tau % 2, rsl, ysl, zsl]
+                        if isinstance(rsl, slice):
+                            return u0b[pl.ds(pb + rsl.start,
+                                             rsl.stop - rsl.start),
+                                       ysl, zsl]
+                        return u0b[pl.ds(pb + rsl, 1), ysl, zsl][0]
                 else:
-                    a = asm[s - 2]
-                    src = rings[s - 2]          # F[s] ring
+                    prev = C[s - 2]
+                    pboff = (1 + jax.lax.rem(jnp.int32(tau), jnp.int32(4)) * TX
+                             if s == 2 else off_of(tau))
 
-                    @pl.when(tau >= 1)
-                    def _():
-                        a[0:1] = src[pl.ds((tau - 1) % 3, 1), TX - 1]
+                    def rp(rsl, ysl, zsl):
+                        if isinstance(rsl, slice):
+                            return prev[pl.ds(pboff + rsl.start,
+                                              rsl.stop - rsl.start),
+                                        ysl, zsl]
+                        return prev[pl.ds(pboff + rsl, 1), ysl, zsl][0]
 
-                    a[1:TX + 1] = src[pl.ds(tau % 3, 1)][0]
-
-                    @pl.when(tau + 1 < NXT)
-                    def _():
-                        a[TX + 1:TX + 2] = src[pl.ds((tau + 1) % 3, 1), 0]
-
-                    apply_flips(a, tau)
-
-                    def rs(xo, ylo, hy):
-                        return a[xo:xo + TX, ylo:ylo + hy, :]
-
-                    def rdf(z):
-                        return a[0:TX + 2, :, z]
-
-                    def rd(dx, y, z):
-                        return a[1 + dx:1 + dx + TX, y, z]
-
-                    def rd_row(i, ysl):
-                        return a[i, ysl, :]
-
-                    if s == 2:
-                        def rp(rsl, ysl, zsl):
-                            return _shift1(slab, tau % 3, rsl, ysl, zsl)
-                    else:
-                        prev = rings[s - 3]      # F[s-1] ring
-
-                        def rp(rsl, ysl, zsl):
-                            return prev[tau % 3, rsl, ysl, zsl]
-
-                # deep-ring flush waits before the slot is rewritten
+                # deep-ring flush waits before the rows are rewritten
                 if writes_uN:
                     @pl.when(tau >= 3)
                     def _():
@@ -730,20 +799,19 @@ def build_fused_tb(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 4,
                                 c.wait()
 
                 def w(yc, hy, v):
-                    outr[oslot, :, yc:yc + hy, :] = v
+                    outr[pl.ds(obase, TX), yc:yc + hy, :] = v
 
                 def ra(yc, hy):
-                    return adjb[tau % RD, :, yc:yc + hy, :]
+                    return adjb[pl.ds(
+                        jax.lax.rem(jnp.int32(tau), jnp.int32(RD)) * TX, TX),
+                        yc:yc + hy, :]
 
                 def rp_chunk(yc, hy):
                     return rp(slice(0, TX), slice(yc, yc + hy), slice(None))
 
                 stencil_into(w, rs, ra, rp_chunk)
                 if NOFULL:
-                    def rps(y, z):
-                        return rp(slice(0, TX), y, z)
-
-                    adj_fixup(outr, oslot, rdf, rd, rps, tau % RD)
+                    adj_fixup(outr, obase, rdf, rd, rp, tau % RD)
                     for p in range(AX):
                         xr = xa_rows[p]
                         t1 = (xr - 1) // TX
@@ -752,17 +820,17 @@ def build_fused_tb(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 4,
                         @pl.when(tau == t1)
                         def _(p=p, r=r):
                             adj_fixup_xrow(
-                                outr, oslot, r, p,
+                                outr, obase, r, p,
                                 lambda dx, ysl, r=r: rd_row(1 + r + dx, ysl),
                                 lambda ysl, r=r: rp(r, ysl, slice(None)))
-                apply_abc(outr, oslot, tau, rp)
+                apply_abc(outr, obase, tau, rp)
                 if PZ:
-                    zplane_stage(outr, oslot, rp,
+                    zplane_stage(outr, obase, rp,
                                  zv[s - 1].at[tau % 2], zg[s - 1].at[tau % 2],
                                  zv[s].at[tau % 2], zg[s].at[tau % 2],
                                  tau % RD)
                 if PY:
-                    yplane_stage(outr, oslot, rp,
+                    yplane_stage(outr, obase, rp,
                                  yv[s - 1].at[tau % 2], yg[s - 1].at[tau % 2],
                                  yv[s].at[tau % 2], yg[s].at[tau % 2],
                                  tau % RD)
@@ -773,15 +841,17 @@ def build_fused_tb(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 4,
                         r = xl - t1 * TX - 1
 
                         @pl.when(tau == t1)
-                        def _(p=p, t1=t1, r=r):
+                        def _(p=p, r=r):
                             xplane_pass(
-                                outr, t1 % 2 if final else t1 % 3, r, p,
+                                outr, obase, r, p,
                                 lambda ysl, r=r: rp(r, ysl, slice(None)),
                                 s == 1)
                 if Nin:
-                    inject(outr, oslot, tau, s - 1)
+                    inject(outr, obase, tau, s - 1)
                 if do_taps and 1 <= s <= TB - 2:
-                    take_taps(outr, oslot, tau, s)
+                    take_taps(outr, obase, tau, s)
+                if not final:
+                    margins(outr, tau)
                 if writes_uN:
                     outN_copy(tau).start()
                 if final:
@@ -793,18 +863,14 @@ def build_fused_tb(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 4,
                         for c in y_out(tau):
                             c.start()
 
-            def _shift1(ref, slot, rsl, ysl, zsl):
-                """Read tile rows from a (TX+2)-row slab ref (rows offset
-                by 1: slab row 1 is the tile's first row)."""
-                if isinstance(rsl, slice):
-                    return ref[slot, slice(rsl.start + 1, rsl.stop + 1),
-                               ysl, zsl]
-                return ref[slot, rsl + 1, ysl, zsl]
-
             def loop(t, _):
                 @pl.when(t + 1 < NXT)
                 def _():
                     start_in(t + 1)
+
+                @pl.when(t + 2 < NXT)
+                def _():
+                    u1_issue(t + 2)
 
                 for s in range(1, TB + 1):
                     # stage s is live while 0 <= t-s+1 < NXT
@@ -830,20 +896,20 @@ def build_fused_tb(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 4,
 
         plane = (Nyp, Nzp)
         scratch = dict(
-            slab=pltpu.VMEM((3, TX + 2) + plane, dtype),
-            u0b=pltpu.VMEM((2, TX) + plane, dtype),
-            adjb=pltpu.VMEM((1, 1) if NOFULL else ((RD, TX) + plane), adt),
-            rings=tuple(pltpu.VMEM((3, TX) + plane, dtype)
-                        for _ in range(TB - 1)),
-            uNb=pltpu.VMEM((2, TX) + plane, dtype),
-            asm=tuple(pltpu.VMEM((TX + 2,) + plane, dtype)
-                      for _ in range(TB - 1)),
-            sem_u1=pltpu.SemaphoreType.DMA((3,)),
+            C=(pltpu.VMEM((RC1,) + plane, dtype),)
+            + tuple(pltpu.VMEM((RC,) + plane, dtype)
+                    for _ in range(TB - 1)),
+            u0b=pltpu.VMEM((2 * TX,) + plane, dtype),
+            uNb=pltpu.VMEM((2 * TX,) + plane, dtype),
+            adjb=pltpu.VMEM((1, 1) if NOFULL else ((RD * TX,) + plane),
+                            adt),
+            sem_u1=pltpu.SemaphoreType.DMA((4,)),
+            sem_u1m=pltpu.SemaphoreType.DMA((2,)),
             sem_u0=pltpu.SemaphoreType.DMA((2,)),
             sem_adj=pltpu.SemaphoreType.DMA((RD,)),
             sem_oN=pltpu.SemaphoreType.DMA((3,)),
             sem_oF=pltpu.SemaphoreType.DMA((2,)),
-            sem_pre=pltpu.SemaphoreType.DMA((4,)),
+            sem_pre=pltpu.SemaphoreType.DMA((5,)),
         )
         Wy = -(-Nyp // 128) * 128
         AZ8, AY8 = -(-AZ // 8) * 8, -(-AY // 8) * 8
@@ -972,23 +1038,22 @@ def build_fused_tb(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 4,
 
 
 def pick_tile_tb(Nyp, Nzp, TB, adj_bytes=2, dtype_bytes=4,
-                 budget_bytes=88 * 1024 * 1024, state_bytes=0,
+                 budget_bytes=96 * 1024 * 1024, state_bytes=0,
                  min_tx=3) -> int | None:
     """Largest TX whose TB-stage scratch fits the VMEM budget, or None.
 
     state_bytes: per-TX-row bytes of fused plane-state scratch (use
-    BoundaryPlanes.state_bytes_per_row(TB=...)).  TX capped at 8 (see
+    BoundaryPlanes.state_bytes_per_row(tb=...)).  TX capped at 8 (see
     pick_tile_pair: TX=12/16 trigger pathological Mosaic compiles)."""
     plane = Nyp * Nzp
     for TX in (8, 6, 4, 3):
         if TX < min_tx:
             break
         need = plane * (
-            3 * (TX + 2) * dtype_bytes          # u1 slab ring
+            (4 * TX + 2) * dtype_bytes          # u1 circular buffer
+            + (TB - 1) * (3 * TX + 2) * dtype_bytes   # intermediates
             + 2 * TX * dtype_bytes              # u0 blocks
-            + (TB + 1) * TX * adj_bytes         # adj ring
-            + (TB - 1) * 3 * TX * dtype_bytes   # intermediate field rings
-            + (TB - 1) * (TX + 2) * dtype_bytes  # assembly slabs
+            + (TB + 1) * TX * adj_bytes         # adj slots
             + 2 * TX * dtype_bytes)             # final staging
         need += TX * state_bytes
         if need <= budget_bytes:

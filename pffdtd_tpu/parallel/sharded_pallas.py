@@ -152,12 +152,16 @@ class ShardedPallasEngine:
             g, S, d.sc, d.fcc, dtype=jdt, TX=TX, interpret=self.interpret,
             nxp_loc=Nxp_loc)
         # all shards share static shapes (fleet-max padded), so shard 0's
-        # update fn serves every shard; real per-shard data flows through nd
+        # update fn serves every shard; real per-shard data flows through
+        # nd.  ring=False: the deep-DMA-ring kernel bakes per-scene window
+        # schedules (n_seq/n_warm) into the program, which breaks fleet
+        # lockstep - shards keep the auto-pipelined tiled kernel
         boundary, _ = build_boundary_hybrid(
             self._bhs[0], d.sc, flat_loc, dtype=jdt,
-            interpret=self.interpret)
+            interpret=self.interpret, ring=False)
         nds = [build_boundary_hybrid(bh, d.sc, flat_loc, dtype=jdt,
-                                     interpret=self.interpret)[1]
+                                     interpret=self.interpret,
+                                     ring=False)[1]
                for bh in self._bhs]
         self._bnode = jax.tree.map(lambda *a: np.stack(a), *nds)
 

@@ -39,8 +39,8 @@ def _case(n_elements, nodes, T, wr, seed=0):
     N = bt.n_tiles * bt.T
     unew = jnp.asarray(rng.standard_normal(n_elements).astype(np.float32))
     u2b = jnp.asarray(rng.standard_normal(N).astype(np.float32))
-    vh = jnp.asarray(rng.standard_normal((MMb, N)).astype(np.float32))
-    gh = jnp.asarray(rng.standard_normal((MMb, N)).astype(np.float32))
+    vh = jnp.asarray(rng.standard_normal((bt.n_tiles, MMb, bt.T)).astype(np.float32))
+    gh = jnp.asarray(rng.standard_normal((bt.n_tiles, MMb, bt.T)).astype(np.float32))
 
     o_a = upd_a(unew, u2b, vh, gh,
                 {k: jnp.asarray(v) for k, v in nd_a.items()})
@@ -73,8 +73,8 @@ def test_ring_matches_auto_dense_runs():
     N = bt.n_tiles * bt.T
     unew = jnp.asarray(rng.standard_normal(n_elements).astype(np.float32))
     u2b = jnp.asarray(rng.standard_normal(N).astype(np.float32))
-    vh = jnp.asarray(rng.standard_normal((MMb, N)).astype(np.float32))
-    gh = jnp.asarray(rng.standard_normal((MMb, N)).astype(np.float32))
+    vh = jnp.asarray(rng.standard_normal((bt.n_tiles, MMb, bt.T)).astype(np.float32))
+    gh = jnp.asarray(rng.standard_normal((bt.n_tiles, MMb, bt.T)).astype(np.float32))
     o_a = upd_a(unew, u2b, vh, gh,
                 {k: jnp.asarray(v) for k, v in nd_a.items()})
     o_r = upd_r(unew, u2b, vh, gh,
