@@ -931,9 +931,14 @@ class JaxEngine:
             return jax.lax.fori_loop(0, iters, body, (unew, u2b, vh, gh))
 
         unew = jnp.zeros(int(np.prod(d.grid.shape)), d.dtype)
-        u2b = {k: jnp.zeros(s, d.dtype) for k, s in u2s.items()}
-        vh = {k: jnp.zeros(s, d.dtype) for k, s in vhs.items()}
-        gh = {k: jnp.zeros(s, d.dtype) for k, s in vhs.items()}
+        # the hybrid update handles the dense/tiled families only (the
+        # z-plane states are fused into the stencil kernel)
+        u2b = {k: jnp.zeros(s, d.dtype) for k, s in u2s.items()
+               if k in ("d", "t")}
+        vh = {k: jnp.zeros(s, d.dtype) for k, s in vhs.items()
+              if k in ("d", "t")}
+        gh = {k: jnp.zeros(s, d.dtype) for k, s in vhs.items()
+              if k in ("d", "t")}
         out = loop(unew, u2b, vh, gh)          # compile + warm
         float(jnp.sum(out[0]))                 # real readback sync
         t0 = time.perf_counter()

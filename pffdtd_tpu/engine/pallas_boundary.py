@@ -52,12 +52,22 @@ WR = int(os.environ.get("PFFDTD_BOUNDARY_WR", "512"))
 TILE_T = int(os.environ.get("PFFDTD_BOUNDARY_T", "512"))
 
 
+def _stream_coef():
+    """ms per (window * WR) of window streaming.
+
+    1.5e-5 = the depth-2 auto-pipeline's ~68 GB/s effective (latency
+    exposed per revisited block); 3.4e-6 = the manual deep-DMA ring's
+    ~300 GB/s (round-3 Musikverein fit)."""
+    return (3.4e-6 if os.environ.get("PFFDTD_BOUNDARY_RING", "1") == "1"
+            else 1.5e-5)
+
+
 def choose_tile_params(bnl_arrays, n_elements, with_cost: bool = False):
     """Pick (T, WR) minimizing a fitted v5e cost model for the tiled kernel.
 
     cost[ms] = 7.2e-9 * n_tiles*T*WR  (exact one-hot MXU matmuls)
              + 5.0e-4 * n_tiles       (per-tile fixed overhead)
-             + 1.5e-5 * n_win*WR      (window stream on win-id change)
+             + coef   * n_win*WR      (window stream; see _stream_coef)
     (least-squares fit of the 248-Mvox full-lossy box sweep, residual ~1 ms).
     bnl_arrays: one sorted node-index array per shard; costs are summed so
     every shard runs the same static shapes.  Env PFFDTD_BOUNDARY_T/WR pin
@@ -70,6 +80,7 @@ def choose_tile_params(bnl_arrays, n_elements, with_cost: bool = False):
         w for w in (128, 256, 512, 1024) if n_elements % (w * 128) == 0]
     if not cand_w:
         cand_w = [128]
+    scoef = _stream_coef()
     best, best_cost = (cand_t[-1], cand_w[-1]), np.inf
     for wr in cand_w:
         nwin = 0
@@ -81,7 +92,7 @@ def choose_tile_params(bnl_arrays, n_elements, with_cost: bool = False):
             nwin += c.size
         for T in cand_t:
             ntl = sum(int(np.ceil(c / T).sum()) for c in counts)
-            cost = 7.2e-9 * ntl * T * wr + 5e-4 * ntl + 1.5e-5 * nwin * wr
+            cost = 7.2e-9 * ntl * T * wr + 5e-4 * ntl + scoef * nwin * wr
             if cost < best_cost:
                 best, best_cost = (T, wr), cost
     return (best, best_cost) if with_cost else best

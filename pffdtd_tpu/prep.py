@@ -96,16 +96,32 @@ def rotate_sim(sim: SimData, tr=None, orient: str = "auto") -> SimData:
     N = (vox.Nx, vox.Ny, vox.Nz)
     if tr is None:
         if orient == "auto" and vox.Nb:
-            # score each candidate z axis: a z-normal boundary face costs
-            # ~3 ns/step (falls to the tiled kernel instead of the dense
-            # one), a lane-padding voxel (Nz -> next multiple of 128)
-            # ~0.28 ns/step of extra streaming (both fit to v5e sweeps)
+            # score each candidate z axis (ns/step, fit to v5e sweeps):
+            # - lane padding (Nz -> next 128 multiple) streams ~0.28 ns
+            #   per padded voxel;
+            # - a z-normal boundary face costs ~3 ns (off the dense path);
+            # - the RESULTING (Nyp, Nzp) plane row size caps the fused
+            #   kernels' TX tile (VMEM), and the measured fixed cost per
+            #   stage-tile (~25 us) times (Nx/TX) tiles/step dominates at
+            #   scale - the term that keeps huge dims OFF z (a 1.7 MB
+            #   plane row forced TX=2 on the real Musikverein, halving
+            #   throughput before round 3 added this term)
+            from pffdtd_tpu.engine.pallas_pair import pick_tile_pair
+
             faces = boundary_face_counts(vox)
             Ntot = int(np.prod(N))
+            will_fold = int(getattr(sim.consts, "fcc_flag", 0)) == 1
             score = []
             for k in range(3):
                 pad = (-(-N[k] // 128) * 128 - N[k]) * (Ntot // N[k])
-                score.append(0.28 * pad + 3.0 * int(faces[k]))
+                rest = sorted((j for j in range(3) if j != k),
+                              key=lambda j: -N[j])
+                ny = N[rest[1]] // 2 + 1 if will_fold else N[rest[1]]
+                nyp = -(-ny // 8) * 8
+                nzp = -(-N[k] // 128) * 128
+                tx = pick_tile_pair(nyp, nzp, adj_bytes=2)
+                fixed = 25_000.0 * N[rest[0]] / max(int(tx), 1)
+                score.append(0.28 * pad + 3.0 * int(faces[k]) + fixed)
             zax = int(np.argmin(score))
             rest = [k for k in range(3) if k != zax]
             rest.sort(key=lambda k: -N[k])
