@@ -742,8 +742,14 @@ class JaxEngine:
                             from pffdtd_tpu.engine.pallas_tb import \
                                 pick_tile_tb
 
+                            # TB=3 first: measured best on the v5e (the
+                            # dominant fixed cost is per stage-tile and
+                            # tiles/step = (Nx-2)/TX regardless of TB, so
+                            # the TB that affords the larger TX wins:
+                            # fcc_lossy bench TB3/TX8 21.4 GVPS vs
+                            # TB4/TX6 16.9)
                             cands = ([int(tb_env)] if tb_env != "auto"
-                                     else [4, 3])
+                                     else [3, 4])
                             for tbc in cands:
                                 txc = pick_tile_tb(
                                     Nyp, Nzp, tbc,
