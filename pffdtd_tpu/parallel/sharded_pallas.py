@@ -33,6 +33,24 @@ from pffdtd_tpu.engine.pallas_stencil import (build_fused_stencil_sharded,
 from pffdtd_tpu.io.h5 import SimFolder
 from pffdtd_tpu.parallel.sharded_engine import make_mesh
 
+# taps beyond this fall back to flat-index gather/scatter (huge-Nout path)
+MAX_TAPS = 256
+
+
+def _loc3(loc, row, Nzp):
+    """(D, N) local flat indices -> (D, N, 3) local (x, y, z) int32."""
+    loc = np.asarray(loc, np.int64)
+    return np.stack([loc // row, (loc // Nzp) % (row // Nzp), loc % Nzp],
+                    axis=-1).astype(np.int32)
+
+
+def _read_taps(u, xyz, mask):
+    """Per-tap dynamic-slice readout: u (X, Y, Z), xyz (N, 3), mask (N,)."""
+    vals = [jax.lax.dynamic_slice(u, (xyz[r, 0], xyz[r, 1], xyz[r, 2]),
+                                  (1, 1, 1))[0, 0, 0]
+            for r in range(xyz.shape[0])]
+    return jnp.stack(vals) * mask
+
 
 class ShardedPallasEngine:
     """x-slab sharded engine running the fused Pallas kernels per shard."""
@@ -134,6 +152,13 @@ class ShardedPallasEngine:
 
         self._in_loc, self._in_mask = io_lists(d.in_ixyz)
         self._out_loc, self._out_mask = io_lists(d.out_ixyz)
+        # 3-coordinate forms of the tap lists: flat-index gather/scatter on
+        # a grid-sized operand makes XLA insert full-grid layout copies per
+        # step (measured 19 vs 103 GVPS on the raw pair scan); per-tap
+        # dynamic_slice reads / .at[x,y,z].add writes are ~free (the same
+        # trade build_step makes, jax_engine.py:374-406)
+        self._in_xyz = _loc3(self._in_loc, row, g.Nzp)
+        self._out_xyz = _loc3(self._out_loc, row, g.Nzp)
 
         self._build()
 
@@ -168,6 +193,8 @@ class ShardedPallasEngine:
         fwd = [(i, i + 1) for i in range(D - 1)]
         bwd = [(i + 1, i) for i in range(D - 1)]
         mesh = self.mesh
+        taps_ok = (self._out_xyz.shape[1] <= MAX_TAPS
+                   and self._in_xyz.shape[1] <= MAX_TAPS)
 
         def shard_fn(u0, u1, vh, gh, u2a, u2b, sigs_T, C):
             ax = jax.lax.axis_index("x")
@@ -186,11 +213,22 @@ class ShardedPallasEngine:
                 unew = fused(u1, u0, C["adj"], scal)
                 unew_f, u2b_new, vh0, gh_new = boundary(
                     unew.reshape(-1), u2b_old, vh1, gh1, C["bnode"])
-                unew_f = unew_f.at[C["in_loc"]].add(
-                    sig_n.astype(dtype) * C["in_mask"])
                 unew = unew_f.reshape(Nxp_loc, g.Nyp, g.Nzp)
-                out_n = jax.lax.psum(
-                    u1.reshape(-1)[C["out_loc"]] * C["out_mask"], "x")
+                if taps_ok:
+                    # per-tap slices/adds: flat-index gather/scatter on the
+                    # grid would insert full-grid layout copies per step
+                    for i in range(C["in_xyz"].shape[0]):
+                        p = C["in_xyz"][i]
+                        unew = unew.at[p[0], p[1], p[2]].add(
+                            sig_n[i].astype(dtype) * C["in_mask"][i])
+                    out_n = jax.lax.psum(
+                        _read_taps(u1, C["out_xyz"], C["out_mask"]), "x")
+                else:
+                    unew = unew.reshape(-1).at[C["in_loc"]].add(
+                        sig_n.astype(dtype) * C["in_mask"]).reshape(
+                            Nxp_loc, g.Nyp, g.Nzp)
+                    out_n = jax.lax.psum(
+                        u1.reshape(-1)[C["out_loc"]] * C["out_mask"], "x")
                 return (u1, unew, vh0, gh_new, u2b_cur, u2b_new), out_n
 
             # two steps per scan iteration: a single-step body rotates
@@ -217,6 +255,7 @@ class ShardedPallasEngine:
             "bnode": jax.tree.map(lambda _: P("x"), self._bnode),
             "in_loc": P("x"), "in_mask": P("x"),
             "out_loc": P("x"), "out_mask": P("x"),
+            "in_xyz": P("x"), "out_xyz": P("x"),
         }
         fn = jax.shard_map(
             shard_fn, mesh=mesh,
@@ -261,6 +300,8 @@ class ShardedPallasEngine:
             "in_mask": self._in_mask.reshape(-1),
             "out_loc": self._out_loc.reshape(-1),
             "out_mask": self._out_mask.reshape(-1),
+            "in_xyz": flatten_lead(self._in_xyz),
+            "out_xyz": flatten_lead(self._out_xyz),
         }
 
         t0 = time.perf_counter()
@@ -476,6 +517,7 @@ class ShardedPairEngine:
             out_loc[k, m] = (ogx[m] - x0[k]) * row + orem[m]
             out_mask[k, m] = 1.0
         self._out_loc, self._out_mask = out_loc, out_mask
+        self._out_xyz = _loc3(out_loc, row, g.Nzp)
 
         # in_pts only sets the static source COUNT here (coordinates are
         # read from the per-shard SMEM array at runtime in sharded mode)
@@ -536,10 +578,23 @@ class ShardedPairEngine:
                         vhf = vhf.at[1:2].set(vl).at[S + 2:S + 3].set(vr)
                         ghf = ghf.at[1:2].set(gl).at[S + 2:S + 3].set(gr)
                         ns[f] = (vhf, ghf)
-                out_b = jax.lax.psum(
-                    u2.reshape(-1)[C["out_loc"][0]] * C["out_mask"][0], "x")
-                out_c = jax.lax.psum(
-                    u3.reshape(-1)[C["out_loc"][0]] * C["out_mask"][0], "x")
+                if self._out_xyz.shape[1] <= MAX_TAPS:
+                    # flat-index gather on the grid-sized u2/u3 inserts
+                    # full-grid layout copies per step (19 vs 103 GVPS on
+                    # the raw pair scan); per-tap dynamic slices are ~free
+                    out_b = jax.lax.psum(
+                        _read_taps(u2, C["out_xyz"][0], C["out_mask"][0]),
+                        "x")
+                    out_c = jax.lax.psum(
+                        _read_taps(u3, C["out_xyz"][0], C["out_mask"][0]),
+                        "x")
+                else:
+                    out_b = jax.lax.psum(
+                        u2.reshape(-1)[C["out_loc"][0]] * C["out_mask"][0],
+                        "x")
+                    out_c = jax.lax.psum(
+                        u3.reshape(-1)[C["out_loc"][0]] * C["out_mask"][0],
+                        "x")
                 vh0 = {f: ns[f][0] for f in fams}
                 gh0 = {f: ns[f][1] for f in fams}
                 return ((u2, u3, vh0, gh0, out_c),
@@ -555,7 +610,7 @@ class ShardedPairEngine:
         st_spec = {f: P("x") for f in fams}
         specs = {
             "adj": P("x"), "scal": P("x"), "ipts": P("x"),
-            "out_loc": P("x"), "out_mask": P("x"),
+            "out_loc": P("x"), "out_mask": P("x"), "out_xyz": P("x"),
         }
         if self._xpr is not None:
             specs["xpr"] = P("x")
@@ -594,7 +649,8 @@ class ShardedPairEngine:
         out0 = jnp.zeros(len(d.out_ixyz), d.dtype)
 
         C = {"adj": self._adj_loc, "scal": self._scal, "ipts": self._ipts,
-             "out_loc": self._out_loc, "out_mask": self._out_mask}
+             "out_loc": self._out_loc, "out_mask": self._out_mask,
+             "out_xyz": self._out_xyz}
         if self._xpr is not None:
             C["xpr"] = self._xpr
         C.update(self._pconsts)
