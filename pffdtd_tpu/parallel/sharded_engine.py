@@ -364,6 +364,18 @@ class ShardedEngine:
             check_vma=False)
         self._sharded_fn = jax.jit(fn, donate_argnums=(0, 1, 2, 3))
 
+        # lists go device-resident ONCE, sharded to match their specs:
+        # numpy leaves would re-upload per run() call over the axon tunnel
+        # (measured multi-x whole-run slowdowns on the pallas engines)
+        def flatten_lead(a):
+            a = np.asarray(a)
+            return a.reshape((a.shape[0] * a.shape[1],) + a.shape[2:])
+
+        self._lists_dev = jax.tree.map(
+            lambda a: jax.device_put(jnp.asarray(flatten_lead(a)),
+                                     NamedSharding(mesh, spec_leaf)),
+            list_arrays)
+
     # -------------------------------------------------------------------- run
     def init_state(self):
         d = self.data
@@ -384,15 +396,9 @@ class ShardedEngine:
         sigs = (d.in_sigs[:, :nt] / d.infac).T.astype(d.dtype)
         u0, u1, vh, gh = self.init_state()
 
-        # reshape stacked per-shard lists to (D*n, ...) for P('x') splitting
-        def flatten_lead(a):
-            a = np.asarray(a)
-            return a.reshape((a.shape[0] * a.shape[1],) + a.shape[2:])
-
-        lists = jax.tree.map(flatten_lead, self._list_arrays)
-
         t0 = time.perf_counter()
-        carry, ys = self._sharded_fn(u0, u1, vh, gh, jnp.asarray(sigs), lists)
+        carry, ys = self._sharded_fn(u0, u1, vh, gh, jnp.asarray(sigs),
+                                     self._lists_dev)
         ys = np.asarray(jax.block_until_ready(ys))
         t1 = time.perf_counter()
 

@@ -264,6 +264,29 @@ class ShardedPallasEngine:
             check_vma=False)
         self._run = jax.jit(fn, donate_argnums=(0, 1, 2, 3, 4, 5))
 
+        # constants go device-resident ONCE, sharded to match their specs:
+        # numpy C entries would re-upload per run() call (the adjacency
+        # grid alone is hundreds of MB - measured 4x whole-run slowdowns
+        # over the axon tunnel)
+        def flatten_lead(a):
+            a = np.asarray(a)
+            return a.reshape((a.shape[0] * a.shape[1],) + a.shape[2:])
+
+        C = {
+            "adj": self._adj_loc,
+            "bnode": jax.tree.map(flatten_lead, self._bnode),
+            "in_loc": self._in_loc.reshape(-1),
+            "in_mask": self._in_mask.reshape(-1),
+            "out_loc": self._out_loc.reshape(-1),
+            "out_mask": self._out_mask.reshape(-1),
+            "in_xyz": flatten_lead(self._in_xyz),
+            "out_xyz": flatten_lead(self._out_xyz),
+        }
+        self._C = jax.tree.map(
+            lambda a, s: jax.device_put(jnp.asarray(a),
+                                        NamedSharding(mesh, s)),
+            C, specs)
+
     # -------------------------------------------------------------------- run
     def run(self, nt: int | None = None, verbose: bool = True):
         import time
@@ -289,23 +312,9 @@ class ShardedPallasEngine:
         u2a = {k: zeros_sharded(s) for k, s in u2s.items()}
         u2b = {k: zeros_sharded(s) for k, s in u2s.items()}
 
-        def flatten_lead(a):
-            a = np.asarray(a)
-            return a.reshape((a.shape[0] * a.shape[1],) + a.shape[2:])
-
-        C = {
-            "adj": self._adj_loc,
-            "bnode": jax.tree.map(flatten_lead, self._bnode),
-            "in_loc": self._in_loc.reshape(-1),
-            "in_mask": self._in_mask.reshape(-1),
-            "out_loc": self._out_loc.reshape(-1),
-            "out_mask": self._out_mask.reshape(-1),
-            "in_xyz": flatten_lead(self._in_xyz),
-            "out_xyz": flatten_lead(self._out_xyz),
-        }
-
         t0 = time.perf_counter()
-        carry, ys = self._run(u0, u1, vh, gh, u2a, u2b, jnp.asarray(sigs), C)
+        carry, ys = self._run(u0, u1, vh, gh, u2a, u2b, jnp.asarray(sigs),
+                              self._C)
         ys = np.asarray(jax.block_until_ready(ys))
         t1 = time.perf_counter()
 
@@ -625,6 +634,20 @@ class ShardedPairEngine:
             check_vma=False)
         self._run = jax.jit(fn, donate_argnums=(0, 1, 2, 3))
 
+        # constants device-resident ONCE (numpy C entries re-upload per
+        # run() call: the adjacency grid alone is hundreds of MB over the
+        # axon tunnel - measured ~4x whole-run slowdowns)
+        C = {"adj": self._adj_loc, "scal": self._scal, "ipts": self._ipts,
+             "out_loc": self._out_loc, "out_mask": self._out_mask,
+             "out_xyz": self._out_xyz}
+        if self._xpr is not None:
+            C["xpr"] = self._xpr
+        C.update(self._pconsts)
+        self._C = jax.tree.map(
+            lambda a, s: jax.device_put(jnp.asarray(a),
+                                        NamedSharding(mesh, s)),
+            C, specs)
+
     def run(self, nt: int | None = None, verbose: bool = True):
         import time
 
@@ -648,15 +671,9 @@ class ShardedPairEngine:
                                 sh) for f in self._fams}
         out0 = jnp.zeros(len(d.out_ixyz), d.dtype)
 
-        C = {"adj": self._adj_loc, "scal": self._scal, "ipts": self._ipts,
-             "out_loc": self._out_loc, "out_mask": self._out_mask,
-             "out_xyz": self._out_xyz}
-        if self._xpr is not None:
-            C["xpr"] = self._xpr
-        C.update(self._pconsts)
-
         t0 = time.perf_counter()
-        carry, ys = self._run(u0, u1, vh, gh, out0, jnp.asarray(sigs), C)
+        carry, ys = self._run(u0, u1, vh, gh, out0, jnp.asarray(sigs),
+                              self._C)
         ys = np.asarray(jax.block_until_ready(ys))[:nt]
         t1 = time.perf_counter()
 
