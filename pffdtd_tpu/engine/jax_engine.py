@@ -214,6 +214,26 @@ class EngineData:
             g.shape, dtype=self.dtype, true_shape=(g.Nx, g.Ny, g.Nz))
         return self.planes.n_stray
 
+    def attach_strays(self) -> int:
+        """Pack the off-plane (stray) lossy nodes for the pair kernel's
+        in-kernel windowed ODE pass; with strays attached the pair kernel
+        runs arbitrary geometry.  Returns the packed chunk count."""
+        from pffdtd_tpu.engine.pallas_boundary import \
+            partition_boundary_strays
+
+        self.strays = None
+        planes = getattr(self, "planes", None)
+        if planes is None or not planes.n_stray:
+            return 0
+        g = self.grid
+        TX = self.tile_x or 8
+        si = planes.stray_idx
+        self.strays = partition_boundary_strays(
+            np.asarray(self.bnl_ixyz)[si], self.ssaf_bnl[si],
+            self.mat_bnl[si], self.mc, g.shape, TX,
+            -(-(g.Nx - 2) // TX), dtype=self.dtype)
+        return self.strays.n_chunks
+
     def attach_adj_planes(self) -> bool:
         """Axis-plane cover of ALL non-full-adjacency nodes: when one
         exists (box-like scenes) the pair kernel drops the per-leg bit
@@ -423,8 +443,10 @@ def build_step(data: EngineData, energy: bool = False,
         o_pts = np.stack([oo // NyNz, (oo // g.Nzp) % g.Nyp, oo % g.Nzp], 1)
         planes = getattr(data, "planes", None)
         apl = getattr(data, "adj_planes", None)
+        strays = getattr(data, "strays", None)
         TB = getattr(data, "tb", 2)
         if backend == "pallas_tb":
+            assert strays is None, "stray fusion is pair-kernel only"
             fusedp = build_fused_tb(g, sc, data.fcc, dtype=jdt,
                                     TX=data.tile_x or 4, TB=TB,
                                     interpret=interpret, in_pts=in_pts,
@@ -435,7 +457,7 @@ def build_step(data: EngineData, energy: bool = False,
                                       TX=data.tile_x or 8,
                                       interpret=interpret,
                                       in_pts=in_pts, planes=planes,
-                                      adj_planes=apl)
+                                      adj_planes=apl, strays=strays)
         if apl is not None:
             # the full adjacency grid is never read in this mode: only the
             # small per-plane adjacency arrays go to the device
@@ -452,6 +474,13 @@ def build_step(data: EngineData, energy: bool = False,
                     consts[f"{fam}ssaf"] = pp.ssaf.astype(dtype)
                     consts[f"{fam}coefs"] = pp.coefs.astype(dtype)
                     fam_list.append(fam)
+        has_strays = strays is not None and int(strays.soff[-1]) > 0
+        if has_strays:
+            consts["s_nd"] = strays.nd
+            consts["s_tab"] = strays.tableT.astype(dtype)
+            consts["s_soff"] = strays.soff
+            consts["s_sr0"] = strays.sr0
+            consts["s_sy0"] = strays.sy0
 
         def step_pair(carry, sigG, C):
             # the u^n receiver sample is CARRIED from the previous
@@ -460,6 +489,10 @@ def build_step(data: EngineData, energy: bool = False,
             u0, u1, vh1, gh1, out_prev = carry
             states = {f: (vh1[f], gh1[f]) for f in fam_list}
             pconsts = {f: (C[f"{f}ssaf"], C[f"{f}coefs"]) for f in fam_list}
+            if has_strays:
+                states["s"] = (vh1["s"], gh1["s"])
+                pconsts["s"] = (C["s_nd"], C["s_tab"], C["s_soff"],
+                                C["s_sr0"], C["s_sy0"])
             adj_arg = C["adjpl"] if apl is not None else C["adj_grid"]
             if backend == "pallas_tb":
                 uN1, uN, taps, ns = fusedp(u1, u0, adj_arg,
@@ -473,8 +506,8 @@ def build_step(data: EngineData, energy: bool = False,
                                      sigG.astype(dtype), states, pconsts)
                 rows = [out_prev, read_taps(uN)]
             out_c = read_taps(uN1)   # u^{n+TB}, next iteration's out_prev
-            vh0 = {f: ns[f][0] for f in fam_list}
-            gh0 = {f: ns[f][1] for f in fam_list}
+            vh0 = {f: s[0] for f, s in ns.items()}
+            gh0 = {f: s[1] for f, s in ns.items()}
             return ((uN, uN1, vh0, gh0, out_c), jnp.stack(rows))
 
         return step_pair, consts
@@ -724,9 +757,17 @@ class JaxEngine:
                     data = EngineData(consts, vox, comms, mats, dtype=dtype,
                                       pad_z=pad_z, fp32_eps=fp32_eps,
                                       tile_x=tp)
-                    if data.attach_planes() == 0:
+                    n_stray = data.attach_planes()
+                    # sloped/curved geometry leaves off-plane (stray)
+                    # lossy nodes: the pair kernel fuses them via the
+                    # windowed in-kernel ODE pass (PFFDTD_STRAYS=0 falls
+                    # back to the single-step + tiled-boundary path)
+                    use_strays = (n_stray > 0 and _os.environ.get(
+                        "PFFDTD_STRAYS", "1") != "0")
+                    if n_stray == 0 or use_strays:
                         backend = "pallas_pair"
-                        nofull = data.attach_adj_planes()
+                        nofull = (False if use_strays
+                                  else data.attach_adj_planes())
 
                         def _sb(tb):
                             return (data.planes.state_bytes_per_row(tb=tb)
@@ -737,7 +778,7 @@ class JaxEngine:
                         # is DMA-floor-bound, so fewer bytes/step wins
                         tb_env = _os.environ.get("PFFDTD_TB", "auto")
                         want = None
-                        if tb_env not in ("0", "2") \
+                        if tb_env not in ("0", "2") and not use_strays \
                                 and len(comms.out_ixyz) <= 64:
                             from pffdtd_tpu.engine.pallas_tb import \
                                 pick_tile_tb
@@ -778,6 +819,8 @@ class JaxEngine:
                             tp = tp2
                         if want is not None:
                             data.tb = want[0]
+                        if use_strays:
+                            data.attach_strays()   # after the final TX
                         tile_x = tp
                         self.data = data
             else:
@@ -804,9 +847,13 @@ class JaxEngine:
                                    tile_x=tile_x if pal else None,
                                    boundary_kernel=(backend == "pallas"))
             if backend in ("pallas_pair", "pallas_tb"):
-                assert self.data.attach_planes() == 0, \
-                    "fused kernels require full axis-plane boundary coverage"
-                self.data.attach_adj_planes()
+                ns = self.data.attach_planes()
+                if ns and backend == "pallas_pair":
+                    self.data.attach_strays()   # fuse off-plane nodes
+                else:
+                    assert ns == 0, ("the TB kernel requires full "
+                                     "axis-plane boundary coverage")
+                    self.data.attach_adj_planes()
                 if backend == "pallas_tb":
                     self.data.tb = int(_os.environ.get("PFFDTD_TB", "4"))
         self.energy_on = energy_on
@@ -890,6 +937,11 @@ class JaxEngine:
                         s = pp.state_shape(g.Nxp)
                         vhp[fam] = jnp.zeros(s, d.dtype)
                         ghp[fam] = jnp.zeros(s, d.dtype)
+            strays = getattr(d, "strays", None)
+            if strays is not None and int(strays.soff[-1]) > 0:
+                s = strays.state_shape()
+                vhp["s"] = jnp.zeros(s, d.dtype)
+                ghp["s"] = jnp.zeros(s, d.dtype)
             # u^0 = 0: the carried previous-step receiver sample starts 0
             out0 = jnp.zeros(len(d.out_ixyz), d.dtype)
             return (u0, u1, vhp, ghp, out0)

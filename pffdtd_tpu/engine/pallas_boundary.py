@@ -1064,6 +1064,7 @@ class BoundaryPlanes:
     y: BoundaryYPlanes | None
     x: BoundaryXPlanes | None
     n_stray: int         # lossy nodes NOT covered by any plane family
+    stray_idx: np.ndarray | None = None  # their indices into the bnl arrays
 
     def state_bytes_per_row(self, itemsize=4, tb: int = 2):
         """VMEM scratch bytes per TX row for a TB-stage kernel.
@@ -1187,6 +1188,161 @@ def partition_boundary_xplanes(bnl_ixyz, ssaf, mat_bnl, mat_coeffs,
     return BoundaryXPlanes(P=P, xp=xp, ssaf=ssaf_pl, coefs=coefs), sel
 
 
+@dataclass
+class BoundaryStrays:
+    """Packed stray-node chunks for the IN-PAIR boundary pass.
+
+    Lossy nodes not on any axis plane (sloped/curved geometry) are grouped
+    by the pair kernel's x-row tile and, within a tile, by a static
+    (row-window, y-window): chunk c holds <= TS nodes sharing window rows
+    [r0[c], r0[c]+RW) x [y0[c], y0[c]+YW) of the resident output block.
+    The kernel gathers node values from the block via exact one-hot MXU
+    matmuls (3-way bf16 split; both transposed-contraction dot_general
+    forms measured bit-exact on the v5e), runs the impedance ODE on the
+    packed vectors, and scatters the delta back into the VMEM ring before
+    the block's HBM flush - no HBM window stream at all.  States
+    round-trip HBM between the pair's two stages (the x-plane pattern).
+    Replaces the air/boundary stream split of gpu_engine.h:964-1056 for
+    arbitrary geometry.
+
+    Node-data rows of `nd` (f32, exact for values < 2^24): 0 = widx
+    (rw*YW + y-y0), 1 = z lane, 2 = material, 3 = ssaf, 4 = valid.
+    Padding nodes carry valid=0, mat=Nmat (the rigid all-zero column):
+    their delta and states are forced to exactly 0 in-kernel.
+    """
+
+    n_chunks: int
+    TS: int
+    RW: int              # rows per window (1 or TX)
+    YW: int              # y rows per window (multiple of 8)
+    maxc: int            # max chunks owned by one tile (static loop bound)
+    nd: np.ndarray       # (n_chunks, 8, TS) f32 packed node data
+    soff: np.ndarray     # (NXT + 1,) i32 chunk offset per x tile
+    sr0: np.ndarray      # (n_chunks,) i32 window first row (within tile)
+    sy0: np.ndarray      # (n_chunks,) i32 window first y (8-aligned)
+    tableT: np.ndarray   # (CR8, NmP) b|bd|bDh|bFh|beta coefficient ROWS,
+    #                      one column per material (rigid = zeros)
+    n_mats: int          # true column count Nmat+1 (incl. the rigid col)
+    node_slot: np.ndarray  # (Nstray,) chunk*TS + lane of each input node
+
+    @property
+    def MZS(self):
+        return -(-MMb // 8) * 8
+
+    def state_shape(self):
+        return (self.n_chunks, self.MZS, self.TS)
+
+
+def _stray_chunk_cost(counts, TS, RW, YW, Nzp):
+    """Fitted per-step cost (us) of a chunking choice: fixed per-chunk
+    overhead (DMA + 9 small-matmul issues) + the exact-one-hot MAC time."""
+    nch = int(np.ceil(counts / TS).sum())
+    mac_us = 9.0 * TS * RW * YW * Nzp / 197e6
+    return nch * (3.0 + mac_us)
+
+
+def partition_boundary_strays(bnl_ixyz, ssaf, mat_bnl, mat_coeffs,
+                              grid_shape, TX: int, nxt: int,
+                              dtype=np.float32,
+                              ts: int | None = None, yw: int | None = None,
+                              rw: int | None = None) -> BoundaryStrays:
+    """Pack stray nodes into per-tile window chunks for the in-pair pass.
+
+    bnl_ixyz must be the PADDED-layout flat indices of the stray subset.
+    nxt: the pair kernel's tile count ceil((Nx-2)/TX).  (TS, RW, YW) are
+    chosen by the cost model unless pinned via arguments /
+    PFFDTD_STRAY_{TS,YW,RW} env knobs."""
+    Nxp, Nyp, Nzp = grid_shape
+    bnl_ixyz = np.asarray(bnl_ixyz)
+    N = bnl_ixyz.size
+    iz = (bnl_ixyz % Nzp).astype(np.int32)
+    iy = ((bnl_ixyz // Nzp) % Nyp).astype(np.int32)
+    ix = (bnl_ixyz // (Nzp * Nyp)).astype(np.int32)
+    t = (ix - 1) // TX                  # stage-1 tile owning the node
+    r = ix - 1 - t * TX                 # row within the tile [0, TX)
+    NXT = int(nxt)
+    assert N == 0 or int(t.max()) < NXT, (int(t.max()), NXT)
+    assert iz.size == 0 or int(iz.max()) < 2 ** 24   # f32-exact node data
+
+    ts = ts or int(os.environ.get("PFFDTD_STRAY_TS", "0"))
+    yw = yw or int(os.environ.get("PFFDTD_STRAY_YW", "0"))
+    rw = rw or int(os.environ.get("PFFDTD_STRAY_RW", "0"))
+    cand = []
+    for RW in ([rw] if rw else sorted({1, TX})):
+        for YW in ([yw] if yw else [32, 64, 128]):
+            if YW > Nyp:
+                continue
+            key = (t.astype(np.int64) * TX
+                   + (r if RW == 1 else 0)) * (1 << 20) + iy // YW
+            _, counts = np.unique(key, return_counts=True)
+            for TS in ([ts] if ts else [128, 256, 512, 1024]):
+                # the (Nzp, TS) gather/scatter temporaries live on the
+                # Mosaic VMEM stack (~6 block-sized values) - cap them
+                if not ts and 6 * 4 * TS * Nzp > 32 * 1024 * 1024:
+                    continue
+                cand.append((_stray_chunk_cost(counts, TS, RW, YW, Nzp),
+                             RW, YW, TS))
+    if not cand:   # tiny Nyp: single full-height window per tile
+        cand = [(0.0, rw or TX, Nyp, ts or 512)]
+    _, RW, YW, TS = min(cand)
+
+    ywin = np.minimum(iy // YW * YW, max(Nyp - YW, 0))
+    key = ((t.astype(np.int64) * TX + (r if RW == 1 else 0)) * (1 << 20)
+           + ywin)
+    order = np.lexsort((bnl_ixyz, key))
+    ks = key[order]
+    # chunk boundaries: new key group or TS-full
+    chunks = []           # (tile, r0, y0, slice into order)
+    i = 0
+    while i < N:
+        j = i
+        while j < N and ks[j] == ks[i] and j - i < TS:
+            j += 1
+        oi = order[i]
+        chunks.append((int(t[oi]), 0 if RW != 1 else int(r[oi]),
+                       int(ywin[oi]), slice(i, j)))
+        i = j
+    n_chunks = max(1, len(chunks))
+
+    Nm = mat_coeffs.b.shape[0] - 1
+    CR8 = -(-(4 * MMb + 1) // 8) * 8
+    NmP = -(-(Nm + 1) // 128) * 128
+    tableT = np.zeros((CR8, NmP), dtype)
+    tableT[0 * MMb:1 * MMb, :Nm + 1] = mat_coeffs.b.T
+    tableT[1 * MMb:2 * MMb, :Nm + 1] = mat_coeffs.bd.T
+    tableT[2 * MMb:3 * MMb, :Nm + 1] = mat_coeffs.bDh.T
+    tableT[3 * MMb:4 * MMb, :Nm + 1] = mat_coeffs.bFh.T
+    tableT[4 * MMb, :Nm + 1] = mat_coeffs.beta
+
+    nd = np.zeros((n_chunks, 8, TS), np.float32)
+    nd[:, 2, :] = Nm                      # padding -> rigid (zero) column
+    soff = np.zeros(NXT + 1, np.int32)
+    sr0 = np.zeros(n_chunks, np.int32)
+    sy0 = np.zeros(n_chunks, np.int32)
+    node_slot = np.zeros(N, np.int64)
+    per_tile = np.zeros(NXT, np.int64)
+    for c, (tc, r0, y0, sl) in enumerate(chunks):
+        per_tile[tc] += 1
+        sr0[c] = r0
+        sy0[c] = y0
+        o = order[sl]
+        n = o.size
+        assert 0 <= int((r[o] - r0).min()) and int((r[o] - r0).max()) < RW
+        nd[c, 0, :n] = (r[o] - r0) * YW + (iy[o] - y0)
+        nd[c, 1, :n] = iz[o]
+        nd[c, 2, :n] = mat_bnl[o]
+        nd[c, 3, :n] = np.asarray(ssaf[o], np.float32)
+        nd[c, 4, :n] = 1.0
+        node_slot[o] = c * TS + np.arange(n)
+    soff[1:] = np.cumsum(per_tile)
+    assert soff[-1] == len(chunks) or not chunks
+    maxc = int(per_tile.max()) if chunks else 0
+    return BoundaryStrays(n_chunks=n_chunks, TS=TS, RW=RW, YW=YW,
+                          maxc=maxc, nd=nd, soff=soff, sr0=sr0, sy0=sy0,
+                          tableT=tableT, n_mats=Nm + 1,
+                          node_slot=node_slot)
+
+
 def partition_boundary_planes(bnl_ixyz, ssaf, mat_bnl, mat_coeffs,
                               grid_shape, dtype=np.float32,
                               true_shape=None) -> BoundaryPlanes:
@@ -1209,7 +1365,9 @@ def partition_boundary_planes(bnl_ixyz, ssaf, mat_bnl, mat_coeffs,
     x, xsel = partition_boundary_xplanes(
         bnl_ixyz[r2], ssaf[r2], mat_bnl[r2], mat_coeffs, grid_shape,
         dtype=dtype, true_shape=true_shape)
-    return BoundaryPlanes(z=z, y=y, x=x, n_stray=int((~xsel).sum()))
+    stray_idx = r2[~xsel]
+    return BoundaryPlanes(z=z, y=y, x=x, n_stray=int(stray_idx.size),
+                          stray_idx=stray_idx)
 
 
 # --------------------------------------------------------------- hybrid mode

@@ -162,7 +162,8 @@ def _roll2(x, dy, dz):
 def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                      interpret: bool = False, in_pts=None, planes=None,
                      adj_planes: AdjPlanes | None = None,
-                     shard: tuple[int, int] | None = None):
+                     shard: tuple[int, int] | None = None,
+                     strays=None):
     """Returns fn(u1, u0, adj, sig2, states) -> (u3, u2, new_states).
 
     grid: GridSpec; sc: SchemeCoeffs.  in_pts: (Nin, 3) STATIC source-node
@@ -171,6 +172,18 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
     BoundaryPlanes with z/y-normal impedance plane partitions; states is a
     {"z": (vh, gh), "y": (vh, gh)} pytree matching it ({} when planes is
     None).  Requires Nxp >= NXT*TX + 2, NXT = ceil((Nx-2)/TX).
+
+    strays: optional BoundaryStrays (pallas_boundary) fusing OFF-PLANE
+    lossy nodes (sloped/curved geometry) in-kernel: per x-tile window
+    chunks of <= TS packed nodes are gathered from the resident output
+    ring by exact one-hot MXU matmuls, advanced through the impedance ODE
+    as dense vectors, and the deltas scattered back before the HBM flush;
+    per-chunk states round-trip HBM between the two stages like x-planes.
+    With strays attached the pair kernel runs ARBITRARY geometry (the
+    reference's air/boundary stream split, gpu_engine.h:964-1056).
+    states/pconsts then carry an extra "s" family: states["s"] = (svh,
+    sgh) of shape strays.state_shape(); pconsts["s"] = (nd, tableT, soff,
+    sr0, sy0).
 
     adj_planes: optional AdjPlanes cover of all non-full-adjacency nodes.
     When given, `adj` in the returned fn is a {"z"/"y"/"x": int32 array}
@@ -250,6 +263,20 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
         assert all(1 <= z <= Nz - 2 for z in za_lanes), za_lanes
         assert all(1 <= y <= Ny - 2 for y in ya_subl), ya_subl
         assert all(1 <= x <= Nx - 2 for x in xa_rows), xa_rows
+    st = strays
+    NST = st is not None and int(st.soff[-1]) > 0
+    if NST:
+        assert not SHARDED, "stray fusion is single-device only"
+        assert not NOFULL, \
+            "stray fusion needs the masked bulk (off-plane masked values)"
+        from pffdtd_tpu.io.h5 import MMb as S_MMB
+        S_TS, S_RW, S_YW = st.TS, st.RW, st.YW
+        S_MZS, S_MAXC = st.MZS, st.maxc
+        S_CR8, S_NmP = st.tableT.shape
+        S_NM = st.n_mats
+        S_WW = S_RW * S_YW
+        assert S_RW in (1, TX) and S_YW % 8 == 0 and S_TS % 128 == 0
+
     cfull = npdt(two - sl2 * npdt(NN))
     # PFFDTD_ABLATE: comma list of kernel pieces to SKIP (perf debugging
     # only - results are numerically wrong): abc, ode, flips, rolls, fixup
@@ -285,6 +312,13 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
         xgh_h = next(it) if PX else None
         xsf_h = next(it) if PX else None   # (PX, Nyp, 8, Nzp)
         xco = next(it) if PX else None     # VMEM (PX, 5*MZ, Nzp)
+        svh_h = next(it) if NST else None  # (NCH, MZS, TS) stray states
+        sgh_h = next(it) if NST else None
+        snd_h = next(it) if NST else None  # (NCH, 8, TS) f32 node data
+        stab = next(it) if NST else None   # VMEM (CR8, NmP) coef columns
+        ssoff = next(it) if NST else None  # SMEM (NXT+1,) i32
+        ssr0 = next(it) if NST else None   # SMEM (NCH,) i32
+        ssy0 = next(it) if NST else None   # SMEM (NCH,) i32
         u3_h = next(it)
         u2_h = next(it)
         zvo_h = next(it) if PZ else None
@@ -293,15 +327,17 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
         ygo_h = next(it) if PY else None
         xvo_h = next(it) if PX else None
         xgo_h = next(it) if PX else None
+        svo_h = next(it) if NST else None  # aliased stray vh states
+        sgo_h = next(it) if NST else None
 
         def body(slab, u0b, adjb, u2r, slab2, u3b,
                  zvi, zgi, zsf, zv1, zg1, zvo, zgo,
                  yvi, ygi, ysf, yv1, yg1, yvo, ygo,
-                 xv, xg, xsb,
+                 xv, xg, xsb, sndb, ssvb, ssgb,
                  zadr, yadr, xadb,
                  sem_in, sem_o2, sem_o3, sem_pre, sem_zin, sem_zout,
                  sem_yin, sem_yout, sem_xi, sem_xo, sem_az, sem_ay,
-                 sem_ax):
+                 sem_ax, sem_si, sem_so):
 
             def z_in(t):
                 rs = t * TX + 1
@@ -735,6 +771,204 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                 return acc + jnp.dot(lo, g,
                                      preferred_element_type=jnp.float32)
 
+            def _split3(x2d):
+                hi = x2d.astype(jnp.bfloat16)
+                r1 = x2d - hi.astype(jnp.float32)
+                mid = r1.astype(jnp.bfloat16)
+                lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+                return hi, mid, lo
+
+            def _sdot(lhs, rhs, dn, split):
+                """Exact one-hot matmul with transposed contraction dims:
+                the VALUES operand (split = 0 for lhs, 1 for rhs) is split
+                into 3 bf16 planes, the other operand is a {0,1} one-hot
+                (exact in bf16) - measured bit-exact on the v5e for both
+                ((0,),(0,)) and ((1,),(1,)) forms."""
+                if dtype != jnp.float32:
+                    return jax.lax.dot_general(
+                        lhs, rhs, (dn, ((), ())),
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=dtype)
+                acc = None
+                for p_ in _split3(lhs if split == 0 else rhs):
+                    a, b_ = (p_, rhs) if split == 0 else (lhs, p_)
+                    d = jax.lax.dot_general(a, b_, (dn, ((), ())),
+                                            preferred_element_type=dtype)
+                    acc = d if acc is None else acc + d
+                return acc
+
+            def _schunk(c, sl, outr, oslot, prev_ref, pslot, pbase):
+                """Impedance-ODE step on one packed stray chunk.
+
+                Gathers ub (post-air value) from the resident output block
+                and u2b (u^{step-1}) from the prev block via exact one-hot
+                MXU matmuls over the chunk's (RW, YW) window, advances the
+                ODE on (TS,)-packed vectors, scatters the delta back into
+                the output ring (cpu_engine.h:362-405 per node).  Padding
+                lanes (valid=0) force delta/states to exactly 0."""
+                y0 = pl.multiple_of(ssy0[c], 8)
+                if S_RW == TX:
+                    win = outr[oslot, :, pl.ds(y0, S_YW), :]
+                    pwin = prev_ref[pslot, pbase:pbase + TX,
+                                    pl.ds(y0, S_YW), :]
+                else:
+                    r0 = ssr0[c]
+                    win = outr[oslot, pl.ds(r0, 1), pl.ds(y0, S_YW), :]
+                    pwin = prev_ref[pslot, pl.ds(pbase + r0, 1),
+                                    pl.ds(y0, S_YW), :]
+                w2 = win.reshape(S_WW, Nzp)
+                p2 = pwin.reshape(S_WW, Nzp)
+                ndw = sndb[sl, 0:1, :].astype(jnp.int32)     # (1, TS)
+                ndz = sndb[sl, 1:2, :].astype(jnp.int32)
+                ndm = sndb[sl, 2:3, :]
+                sa = sndb[sl, 3:4, :]
+                ok_ = sndb[sl, 4:5, :] > 0
+                iw = jax.lax.broadcasted_iota(jnp.int32, (S_WW, S_TS), 0)
+                g1 = (iw == ndw).astype(jnp.bfloat16 if dtype ==
+                                        jnp.float32 else dtype)
+                iz_ = jax.lax.broadcasted_iota(jnp.int32, (Nzp, S_TS), 0)
+                zm = (iz_ == ndz).astype(dtype)
+                d00 = ((0,), (0,))
+                pb = _sdot(w2, g1, d00, 0)                   # (Nzp, TS)
+                ub = jnp.sum(pb * zm, axis=0, keepdims=True)
+                pp = _sdot(p2, g1, d00, 0)
+                u2b = jnp.sum(pp * zm, axis=0, keepdims=True)
+                # per-node coefficients: masked sum over material columns
+                # (exact - plain f32 adds of disjoint one-hot terms)
+                co = None
+                for m in range(S_NM):
+                    term = stab[:, m:m + 1] * (ndm == m).astype(dtype)
+                    co = term if co is None else co + term
+                MB = S_MMB
+                b = co[0 * MB:1 * MB]
+                bd = co[1 * MB:2 * MB]
+                bDh = co[2 * MB:3 * MB]
+                bFh = co[3 * MB:4 * MB]
+                beta = co[4 * MB:4 * MB + 1]
+                vh = ssvb[sl, 0:MB, :]
+                gh = ssgb[sl, 0:MB, :]
+                lo2Kbg = lo2 * sa * beta
+                ub_new = ub - lv * sa * jnp.sum(
+                    two * bDh * vh - bFh * gh, axis=0, keepdims=True)
+                ub_new = (ub_new + lo2Kbg * u2b) / (1.0 + lo2Kbg)
+                vh0 = b * (ub_new - u2b) + bd * vh - two * bFh * gh
+                gh_new = gh + half * (vh0 + vh)
+                zero = jnp.zeros((), dtype)
+                delta = jnp.where(ok_, ub_new - ub, zero)
+                ssvb[sl, 0:MB, :] = jnp.where(ok_, vh0, zero)
+                ssgb[sl, 0:MB, :] = jnp.where(ok_, gh_new, zero)
+                dmat = zm * delta                            # (Nzp, TS)
+                dw = _sdot(g1, dmat, ((1,), (1,)), 1)        # (WW, Nzp)
+                if S_RW == TX:
+                    outr[oslot, :, pl.ds(y0, S_YW), :] = (
+                        outr[oslot, :, pl.ds(y0, S_YW), :]
+                        + dw.reshape(TX, S_YW, Nzp))
+                else:
+                    outr[oslot, pl.ds(r0, 1), pl.ds(y0, S_YW), :] = (
+                        outr[oslot, pl.ds(r0, 1), pl.ds(y0, S_YW), :]
+                        + dw.reshape(1, S_YW, Nzp))
+
+            def stray_pass(outr, oslot, prev_ref, pslot, pbase, t, first):
+                """In-pair stray-node boundary pass for tile t's chunks
+                [soff[t], soff[t+1]).
+
+                Stage 1 (first=True) reads state^n from the input refs and
+                writes state^{n+1} to the aliased outputs; stage 2
+                round-trips the outputs in place (the x-plane pattern).
+                The chunk loop has STATIC bounds (maxc) with pl.when
+                guards: dynamic-bound fori_loop hangs the Mosaic compile.
+                Slots alternate by relative chunk parity; each slot's
+                final state flush is drained at the end (the next stage's
+                pass re-reads the same HBM rows)."""
+                if "ode" in ABLATE or "odes" in ABLATE:
+                    return
+                vin_h = svh_h if first else svo_h
+                gin_h = sgh_h if first else sgo_h
+                c0 = ssoff[t]
+                c1 = ssoff[t + 1]
+
+                def cin(c, sl):
+                    return [
+                        pltpu.make_async_copy(snd_h.at[pl.ds(c, 1)],
+                                              sndb.at[pl.ds(sl, 1)],
+                                              sem_si.at[sl, 0]),
+                        pltpu.make_async_copy(vin_h.at[pl.ds(c, 1)],
+                                              ssvb.at[pl.ds(sl, 1)],
+                                              sem_si.at[sl, 1]),
+                        pltpu.make_async_copy(gin_h.at[pl.ds(c, 1)],
+                                              ssgb.at[pl.ds(sl, 1)],
+                                              sem_si.at[sl, 2]),
+                    ]
+
+                def cout(c, sl):
+                    return [
+                        pltpu.make_async_copy(ssvb.at[pl.ds(sl, 1)],
+                                              svo_h.at[pl.ds(c, 1)],
+                                              sem_so.at[sl, 0]),
+                        pltpu.make_async_copy(ssgb.at[pl.ds(sl, 1)],
+                                              sgo_h.at[pl.ds(c, 1)],
+                                              sem_so.at[sl, 1]),
+                    ]
+
+                @pl.when(c0 < c1)
+                def _():
+                    for cp in cin(c0, 0):
+                        cp.start()
+
+                def kbody(k, _):
+                    c = c0 + 2 * k
+
+                    @pl.when(c < c1)
+                    def _():
+                        for cp in cin(c, 0):
+                            cp.wait()
+
+                        @pl.when(c + 1 < c1)
+                        def _():
+                            @pl.when(k > 0)
+                            def _():
+                                for cp in cout(c - 1, 1):
+                                    cp.wait()
+                            for cp in cin(c + 1, 1):
+                                cp.start()
+                        _schunk(c, 0, outr, oslot, prev_ref, pslot, pbase)
+                        for cp in cout(c, 0):
+                            cp.start()
+
+                    @pl.when(c + 1 < c1)
+                    def _():
+                        for cp in cin(c + 1, 1):
+                            cp.wait()
+
+                        @pl.when(c + 2 < c1)
+                        def _():
+                            for cp in cout(c, 0):
+                                cp.wait()
+                            for cp in cin(c + 2, 0):
+                                cp.start()
+                        _schunk(c + 1, 1, outr, oslot, prev_ref, pslot,
+                                pbase)
+                        for cp in cout(c + 1, 1):
+                            cp.start()
+                    return _
+
+                jax.lax.fori_loop(0, (S_MAXC + 1) // 2, kbody, None,
+                                  unroll=False)
+                # drain: exactly one cout per used slot is still pending
+                # (sem waits match by semaphore + size; address is not
+                # part of the wait)
+                nn = c1 - c0
+
+                @pl.when(nn >= 1)
+                def _():
+                    for cp in cout(c0, 0):
+                        cp.wait()
+
+                @pl.when(nn >= 2)
+                def _():
+                    for cp in cout(c0, 1):
+                        cp.wait()
+
             def zplane_stage(outr, slot, prev_ref, pslot, pbase,
                              vin, gin, vout, gout, sfslot):
                 """z-normal plane ODE on an output block.
@@ -941,6 +1175,8 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                             def _(p=p, t1=t1, r=r):
                                 xplane_pass(u2r, t1 % 3, r, p,
                                             u0b.at[t1 % 2], r, True)
+                    if NST:
+                        stray_pass(u2r, slot, u0b, pslot, 0, t, True)
                     if Nin:
                         inject(u2r, slot, t, 0)
                     out2_copy(t).start()
@@ -1038,6 +1274,8 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                             def _(p=p, t1=t1, r=r):
                                 xplane_pass(u3b, t1 % 2, r, p,
                                             slab.at[t1 % 3], 1 + r, False)
+                    if NST:
+                        stray_pass(u3b, oslot, slab, aslot, 1, tt, False)
                     if Nin:
                         inject(u3b, oslot, tt, 1)
                     out3_copy(tt).start()
@@ -1121,6 +1359,18 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                 scratch[k] = pltpu.VMEM((1, 1), dtype)
             scratch["sem_xi"] = pltpu.SemaphoreType.DMA((1,))
             scratch["sem_xo"] = pltpu.SemaphoreType.DMA((1,))
+        if NST:
+            scratch.update(
+                sndb=pltpu.VMEM((2, 8, S_TS), jnp.float32),
+                ssvb=pltpu.VMEM((2, S_MZS, S_TS), dtype),
+                ssgb=pltpu.VMEM((2, S_MZS, S_TS), dtype),
+                sem_si=pltpu.SemaphoreType.DMA((2, 3)),
+                sem_so=pltpu.SemaphoreType.DMA((2, 2)))
+        else:
+            for k in ("sndb", "ssvb", "ssgb"):
+                scratch[k] = pltpu.VMEM((1, 1), dtype)
+            scratch["sem_si"] = pltpu.SemaphoreType.DMA((1,))
+            scratch["sem_so"] = pltpu.SemaphoreType.DMA((1,))
 
         pl.run_scoped(body, **scratch)
 
@@ -1175,6 +1425,21 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
             al[idx + 1] = oidx + 1
             fams.append(fam)
             idx += 4
+            oidx += 2
+        if NST:
+            svh, sgh = states["s"]
+            nd_a, tab_a, soff_a, sr0_a, sy0_a = pconsts["s"]
+            ins += [svh, sgh, nd_a, tab_a, soff_a, sr0_a, sy0_a]
+            in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * 3 \
+                + [pl.BlockSpec(memory_space=pltpu.VMEM)] \
+                + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 3
+            outs += [jax.ShapeDtypeStruct(svh.shape, dtype),
+                     jax.ShapeDtypeStruct(sgh.shape, dtype)]
+            out_specs += [pl.BlockSpec(memory_space=pl.ANY)] * 2
+            al[idx] = oidx
+            al[idx + 1] = oidx + 1
+            fams.append("s")
+            idx += 7
             oidx += 2
         res = pl.pallas_call(
             kernel,

@@ -17,7 +17,8 @@ from pffdtd_tpu.engine.jax_engine import EngineData, JaxEngine, build_step
 def _run_pair_interpret(sim, nt_run, tile_x=8, adj_planes=False):
     data = EngineData(sim.consts, sim.vox, sim.comms, sim.mats,
                       dtype=np.float32, pad_z=128, tile_x=tile_x)
-    data.attach_planes()
+    if data.attach_planes():
+        data.attach_strays()   # off-plane nodes: in-kernel stray pass
     if adj_planes:
         from pffdtd_tpu.engine.pallas_pair import partition_adj_planes
 
@@ -35,6 +36,11 @@ def _run_pair_interpret(sim, nt_run, tile_x=8, adj_planes=False):
                 s = pp.state_shape(g.Nxp)
                 vh[fam] = jnp.zeros(s, np.float32)
                 gh[fam] = jnp.zeros(s, np.float32)
+    strays = getattr(data, "strays", None)
+    if strays is not None and int(strays.soff[-1]) > 0:
+        s = strays.state_shape()
+        vh["s"] = jnp.zeros(s, np.float32)
+        gh["s"] = jnp.zeros(s, np.float32)
     carry = (jnp.zeros(g.shape, np.float32), jnp.zeros(g.shape, np.float32),
              vh, gh, jnp.zeros(len(data.out_ixyz), np.float32))
     nt = nt_run + (nt_run % 2)
@@ -183,3 +189,72 @@ def test_adj_planes_cover_matches_masked_bits():
                                       data.adj_grid[:, yl, :])
     for p, xr in enumerate(ap.x_rows):
         np.testing.assert_array_equal(ap.xadj[p], data.adj_grid[xr])
+
+
+# ------------------------------------ in-kernel stray-node boundary pass
+def _stray_data(sim, tile_x):
+    data = EngineData(sim.consts, sim.vox, sim.comms, sim.mats,
+                      dtype=np.float32, pad_z=128, tile_x=tile_x)
+    ns = data.attach_planes()
+    data.attach_strays()
+    return data, ns
+
+
+def test_pair_strays_all_cart(monkeypatch):
+    """Plane thresholds reject EVERYTHING: all lossy nodes go through the
+    packed stray pass (gpu_engine.h:964-1056 boundary stream analogue)."""
+    monkeypatch.setenv("PFFDTD_ZPLANE_MIN_COUNT", "1000000000")
+    sim = synthetic_box_sim(2.5, 2.0, 1.6, h=0.1, Nt=30, lossy=True,
+                            insig_type="hann10", diff_source=False)
+    data, ns = _stray_data(sim, 4)
+    assert ns > 0 and data.planes.z is None and data.planes.x is None
+    assert data.strays is not None and int(data.strays.soff[-1]) > 0
+    _compare(sim, tile_x=4)
+
+
+def test_pair_strays_all_fcc_rw1(monkeypatch):
+    """FCC all-stray with the RW=1 (single-row window) kernel variant."""
+    monkeypatch.setenv("PFFDTD_ZPLANE_MIN_COUNT", "1000000000")
+    monkeypatch.setenv("PFFDTD_STRAY_RW", "1")
+    sim = synthetic_box_sim(2.2, 1.8, 1.5, h=0.12, Nt=30, lossy=True,
+                            fcc=True, insig_type="hann10", diff_source=False)
+    data, ns = _stray_data(sim, 4)
+    assert ns > 0 and data.strays.RW == 1
+    _compare(sim, tile_x=4)
+
+
+def _sloped_room(Lx=2.0, Ly=3.0, Lz1=1.6, Lz2=2.5):
+    """Shoebox with a ceiling RAKED along y (Lz1 at y=0, Lz2 at y=Ly):
+    voxelization staircases the sloped face into off-plane lossy nodes -
+    the real-hall geometry class (raked floors/balconies) that rejects
+    the axis-plane partition."""
+    from pffdtd_tpu.geometry.room import RoomGeo
+
+    v = np.array([[0, 0, 0], [Lx, 0, 0], [0, Ly, 0], [Lx, Ly, 0],
+                  [0, 0, Lz1], [Lx, 0, Lz1], [0, Ly, Lz2], [Lx, Ly, Lz2]],
+                 np.float64)
+    tris = np.array([(0, 4, 6), (0, 6, 2), (1, 3, 7), (1, 7, 5),
+                     (0, 1, 5), (0, 5, 4), (2, 6, 7), (2, 7, 3),
+                     (0, 2, 3), (0, 3, 1), (4, 5, 7), (4, 7, 6)], np.int64)
+    mat_ind = np.zeros(12, np.int8)
+    mat_side = np.ones(12, np.int8)
+    Sxyz = np.array([[0.55 * Lx, 0.6 * Ly, 0.5 * Lz1]])
+    Rxyz = np.array([[0.3 * Lx, 0.3 * Ly, 0.4 * Lz1]])
+    return RoomGeo.from_arrays(v, tris, mat_ind, mat_side, ["walls"],
+                               Sxyz, Rxyz)
+
+
+def test_pair_strays_sloped_room():
+    """End-to-end sloped-geometry scene: planes cover the straight walls,
+    the raked ceiling's staircase nodes run through the stray pass."""
+    from pffdtd_tpu.scene_setup import mats_from_DEF_list, \
+        sim_setup_from_room
+
+    rg = _sloped_room()
+    md = mats_from_DEF_list([np.array([[2.0, 5.0, 30.0],
+                                       [1.0, 10.0, 300.0]])])
+    sim = sim_setup_from_room(rg, md, duration=0.018, insig_type="hann10",
+                              h=0.2, vox_backend="numpy", block_size=16)
+    data, ns = _stray_data(sim, 4)
+    assert ns > 0, "raked ceiling must leave off-plane lossy nodes"
+    _compare(sim, tile_x=4)
