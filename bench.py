@@ -162,17 +162,20 @@ def sharded_pallas_tpu(nt=64):
 
 def sharded_pair_tpu(nt=64):
     """Mosaic-compile the sharded temporally-blocked pair engine on the
-    real chip (D=1 mesh) and cross-check it against JaxEngine's pair path
-    (the multi-chip fast path must compile + agree on hardware, not just
-    in the CPU-interpret suite)."""
+    real chip (D=1 mesh) at BENCH scale and cross-check it against
+    JaxEngine's pair path.  Returns (mvps, err, frac): frac = sharded
+    rate / single-device rate on the same scene - the multi-chip fast
+    path must pay <= ~10% wrapper overhead (the reference degrades only
+    3-18% from 1 to 8 GPUs, BASELINE.md)."""
     from pffdtd_tpu.demo import synthetic_box_sim
     from pffdtd_tpu.engine.jax_engine import JaxEngine
     from pffdtd_tpu.parallel.sharded_pallas import ShardedPairEngine
 
-    sim = synthetic_box_sim(12.0, 9.0, 7.0, h=0.03, Nt=nt, lossy=False,
+    sim = synthetic_box_sim(21.0, 16.0, 12.6, h=0.03, Nt=nt, lossy=False,
                             insig_type="impulse")
     jx = JaxEngine(consts=sim.consts, vox=sim.vox, comms=sim.comms,
                    mats=sim.mats, dtype=np.float32)
+    jx.run(nt=nt, verbose=False)
     jx.run(nt=nt, verbose=False)
     sp = ShardedPairEngine(consts=sim.consts, vox=sim.vox, comms=sim.comms,
                            mats=sim.mats, dtype=np.float32)
@@ -181,7 +184,7 @@ def sharded_pair_tpu(nt=64):
     err = float(np.abs(sp.u_out - jx.u_out).max()
                 / max(np.abs(jx.u_out).max(), 1e-30))
     assert err < 1e-4, f"sharded-pair TPU mismatch: {err}"
-    return sp.mvps, err
+    return sp.mvps, err, sp.mvps / jx.mvps
 
 
 def main():
@@ -238,9 +241,10 @@ def main():
         except Exception as e:  # noqa: BLE001 - secondary must not kill bench
             print(f"  sharded_pallas_tpu failed: {e}", file=sys.stderr)
         try:
-            mvps_spr, err_spr = sharded_pair_tpu()
+            mvps_spr, err_spr, frac = sharded_pair_tpu()
             secondary["sharded_pair_tpu_mvps"] = mvps_spr
             secondary["sharded_pair_vs_jax_err"] = err_spr
+            secondary["sharded_pair_vs_single_frac"] = frac
         except Exception as e:  # noqa: BLE001 - secondary must not kill bench
             print(f"  sharded_pair_tpu failed: {e}", file=sys.stderr)
     elif cfg != "fcc_lossy":

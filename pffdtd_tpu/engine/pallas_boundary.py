@@ -977,7 +977,11 @@ def partition_boundary_zplanes(bnl_ixyz, ssaf, mat_bnl, mat_coeffs,
     # the lane (y) extent to a 128 multiple
     MZ = -(-MMb // 8) * 8
     Nyw = -(-Nyp // 128) * 128
-    ssaf_pl = np.zeros((Nxp, P, Nyw), dtype)
+    # ssaf is 3-D: its plane dim sits in SUBLANES, so a (TX, P, W) DMA
+    # slice needs P <= 8 or 8-aligned (Mosaic tiling); pad with ssaf=0
+    # identity planes (the kernel only loops the true P)
+    P8 = P if P <= 8 else -(-P // 8) * 8
+    ssaf_pl = np.zeros((Nxp, P8, Nyw), dtype)
     coefs = np.zeros((P, 5 * MZ, Nyw), dtype)
     zp = np.zeros(P, np.int32)
     xlo = np.zeros(P, np.int32)
@@ -1072,7 +1076,10 @@ class BoundaryPlanes:
         Per family: vh+gh level rings = 2 arrays x (tb+1) levels x 2
         slots, plus tb+1 ssaf slots (the pair kernel's 3-level/3-slot
         layout is the tb=2 instance, counted at its worst case)."""
-        copies = 4 * (tb + 1)
+        # the pair kernel (tb=2) stages the intermediate state level in
+        # its output rings (no separate v1/g1 scratch); the TB kernel
+        # still carries tb+1 levels
+        copies = 4 * tb if tb == 2 else 4 * (tb + 1)
         nsf = tb + 1
         b = 0
         if self.z is not None:
@@ -1133,7 +1140,8 @@ def partition_boundary_yplanes(bnl_ixyz, ssaf, mat_bnl, mat_coeffs,
 
     P = len(planes)
     MZ = -(-MMb // 8) * 8
-    ssaf_pl = np.zeros((Nxp, P, Nzp), dtype)
+    P8 = P if P <= 8 else -(-P // 8) * 8   # see z-plane ssaf note
+    ssaf_pl = np.zeros((Nxp, P8, Nzp), dtype)
     yp = np.zeros(P, np.int32)
     for p, (y, mat, m) in enumerate(planes):
         yp[p] = y
@@ -1278,7 +1286,7 @@ def partition_boundary_strays(bnl_ixyz, ssaf, mat_bnl, mat_coeffs,
             for TS in ([ts] if ts else [128, 256, 512, 1024]):
                 # the (Nzp, TS) gather/scatter temporaries live on the
                 # Mosaic VMEM stack (~6 block-sized values) - cap them
-                if not ts and 6 * 4 * TS * Nzp > 32 * 1024 * 1024:
+                if not ts and 6 * 4 * TS * Nzp > 16 * 1024 * 1024:
                     continue
                 cand.append((_stray_chunk_cost(counts, TS, RW, YW, Nzp),
                              RW, YW, TS))

@@ -243,6 +243,9 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
     xp_rows = [int(x) for x in xpl.xp] if PX else []
     MZ = zpl.MZ if PZ else (ypl.MZ if PY else (xpl.MZ if PX else 8))
     Nyw = zpl.ssaf.shape[2] if PZ else 128
+    # ssaf plane dims may be 8-padded (identity planes) for DMA tiling
+    PZ8 = zpl.ssaf.shape[1] if PZ else 0
+    PY8 = ypl.ssaf.shape[1] if PY else 0
     CY = min(xpl.CY, Nyp) if PX else 8
     if PX and not SHARDED:
         assert all(1 <= x <= Nx - 2 for x in xp_rows), xp_rows
@@ -331,8 +334,8 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
         sgo_h = next(it) if NST else None
 
         def body(slab, u0b, adjb, u2r, slab2, u3b,
-                 zvi, zgi, zsf, zv1, zg1, zvo, zgo,
-                 yvi, ygi, ysf, yv1, yg1, yvo, ygo,
+                 zvi, zgi, zsf, zvo, zgo,
+                 yvi, ygi, ysf, yvo, ygo,
                  xv, xg, xsb, sndb, ssvb, ssgb,
                  zadr, yadr, xadb,
                  sem_in, sem_o2, sem_o3, sem_pre, sem_zin, sem_zout,
@@ -1117,6 +1120,18 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                     def _():
                         out2_copy(t - 3).wait()
 
+                    # the intermediate state^{n+1} is staged in the OUTPUT
+                    # rings (slot t%2): the pending state flush of tile
+                    # t-2 (same slot) must land first
+                    @pl.when(t >= 2)
+                    def _():
+                        if PZ:
+                            for c in z_out(t - 2):
+                                c.wait()
+                        if PY:
+                            for c in y_out(t - 2):
+                                c.wait()
+
                     def w2(yc, hy, v):
                         u2r[slot, :, yc:yc + hy, :] = v
 
@@ -1157,11 +1172,11 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                     if PZ:
                         zplane_stage(u2r, slot, u0b, pslot, 0,
                                      zvi.at[t % 2], zgi.at[t % 2],
-                                     zv1.at[t % 2], zg1.at[t % 2], t % 3)
+                                     zvo.at[t % 2], zgo.at[t % 2], t % 3)
                     if PY:
                         yplane_stage(u2r, slot, u0b, pslot, 0,
                                      yvi.at[t % 2], ygi.at[t % 2],
-                                     yv1.at[t % 2], yg1.at[t % 2], t % 3)
+                                     yvo.at[t % 2], ygo.at[t % 2], t % 3)
                     if PX:
                         for p in range(PX):
                             if XDYN:
@@ -1198,15 +1213,11 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
 
                     apply_flips(slab2, tt)
 
+                    # z_out/y_out(tt-2) are waited in stage 1 (the state
+                    # flush slot is re-staged there first)
                     @pl.when(tt >= 2)
                     def _():
                         out3_copy(tt - 2).wait()
-                        if PZ:
-                            for c in z_out(tt - 2):
-                                c.wait()
-                        if PY:
-                            for c in y_out(tt - 2):
-                                c.wait()
 
                     oslot = tt % 2
                     aslot = tt % 3
@@ -1250,14 +1261,16 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                                         slab[aslot, 1 + r, ysl, :])
                     apply_abc(u3b, oslot, tt, slab, aslot, 1)
                     if PZ:
+                        # state^{n+1} was staged into the output ring by
+                        # stage 1; advance it to state^{n+2} IN PLACE
                         zplane_stage(u3b, oslot, slab, aslot, 1,
-                                     zv1.at[tt % 2], zg1.at[tt % 2],
+                                     zvo.at[tt % 2], zgo.at[tt % 2],
                                      zvo.at[tt % 2], zgo.at[tt % 2], tt % 3)
                         for c in z_out(tt):
                             c.start()
                     if PY:
                         yplane_stage(u3b, oslot, slab, aslot, 1,
-                                     yv1.at[tt % 2], yg1.at[tt % 2],
+                                     yvo.at[tt % 2], ygo.at[tt % 2],
                                      yvo.at[tt % 2], ygo.at[tt % 2], tt % 3)
                         for c in y_out(tt):
                             c.start()
@@ -1323,13 +1336,12 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
             zs = (2, TX, PZ, MZ, Nyw)
             scratch.update(
                 zvi=pltpu.VMEM(zs, dtype), zgi=pltpu.VMEM(zs, dtype),
-                zv1=pltpu.VMEM(zs, dtype), zg1=pltpu.VMEM(zs, dtype),
                 zvo=pltpu.VMEM(zs, dtype), zgo=pltpu.VMEM(zs, dtype),
-                zsf=pltpu.VMEM((3, TX, PZ, Nyw), dtype),
+                zsf=pltpu.VMEM((3, TX, PZ8, Nyw), dtype),
                 sem_zin=pltpu.SemaphoreType.DMA((2, 3)),
                 sem_zout=pltpu.SemaphoreType.DMA((2, 2)))
         else:
-            for k in ("zvi", "zgi", "zv1", "zg1", "zvo", "zgo", "zsf"):
+            for k in ("zvi", "zgi", "zvo", "zgo", "zsf"):
                 scratch[k] = pltpu.VMEM((1, 1), dtype)
             scratch["sem_zin"] = pltpu.SemaphoreType.DMA((1,))
             scratch["sem_zout"] = pltpu.SemaphoreType.DMA((1,))
@@ -1337,13 +1349,12 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
             ys_ = (2, TX, PY, MZ, Nzp)
             scratch.update(
                 yvi=pltpu.VMEM(ys_, dtype), ygi=pltpu.VMEM(ys_, dtype),
-                yv1=pltpu.VMEM(ys_, dtype), yg1=pltpu.VMEM(ys_, dtype),
                 yvo=pltpu.VMEM(ys_, dtype), ygo=pltpu.VMEM(ys_, dtype),
-                ysf=pltpu.VMEM((3, TX, PY, Nzp), dtype),
+                ysf=pltpu.VMEM((3, TX, PY8, Nzp), dtype),
                 sem_yin=pltpu.SemaphoreType.DMA((2, 3)),
                 sem_yout=pltpu.SemaphoreType.DMA((2, 2)))
         else:
-            for k in ("yvi", "ygi", "yv1", "yg1", "yvo", "ygo", "ysf"):
+            for k in ("yvi", "ygi", "yvo", "ygo", "ysf"):
                 scratch[k] = pltpu.VMEM((1, 1), dtype)
             scratch["sem_yin"] = pltpu.SemaphoreType.DMA((1,))
             scratch["sem_yout"] = pltpu.SemaphoreType.DMA((1,))

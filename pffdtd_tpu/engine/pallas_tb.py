@@ -143,6 +143,9 @@ def build_fused_tb(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
     xp_rows = [int(x) for x in xpl.xp] if PX else []
     MZ = zpl.MZ if PZ else (ypl.MZ if PY else (xpl.MZ if PX else 8))
     Nyw = zpl.ssaf.shape[2] if PZ else 128
+    # ssaf plane dims may be 8-padded (identity planes) for DMA tiling
+    PZ8 = zpl.ssaf.shape[1] if PZ else 0
+    PY8 = ypl.ssaf.shape[1] if PY else 0
     CY = min(xpl.CY, Nyp) if PX else 8
     if PX:
         assert all(1 <= x <= Nx - 2 for x in xp_rows), xp_rows
@@ -926,7 +929,7 @@ def build_fused_tb(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
             scratch.update(
                 zv=tuple(pltpu.VMEM(zs, dtype) for _ in range(TB + 1)),
                 zg=tuple(pltpu.VMEM(zs, dtype) for _ in range(TB + 1)),
-                zsf=pltpu.VMEM((RD, TX, PZ, Nyw), dtype),
+                zsf=pltpu.VMEM((RD, TX, PZ8, Nyw), dtype),
                 sem_zin=pltpu.SemaphoreType.DMA((2, 2)),
                 sem_zout=pltpu.SemaphoreType.DMA((2, 2)),
                 sem_zsf=pltpu.SemaphoreType.DMA((RD,)))
@@ -944,7 +947,7 @@ def build_fused_tb(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
             scratch.update(
                 yv=tuple(pltpu.VMEM(ys_, dtype) for _ in range(TB + 1)),
                 yg=tuple(pltpu.VMEM(ys_, dtype) for _ in range(TB + 1)),
-                ysf=pltpu.VMEM((RD, TX, PY, Nzp), dtype),
+                ysf=pltpu.VMEM((RD, TX, PY8, Nzp), dtype),
                 sem_yin=pltpu.SemaphoreType.DMA((2, 2)),
                 sem_yout=pltpu.SemaphoreType.DMA((2, 2)),
                 sem_ysf=pltpu.SemaphoreType.DMA((RD,)))

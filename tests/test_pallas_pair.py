@@ -258,3 +258,23 @@ def test_pair_strays_sloped_room():
     data, ns = _stray_data(sim, 4)
     assert ns > 0, "raked ceiling must leave off-plane lossy nodes"
     _compare(sim, tile_x=4)
+
+
+def test_pair_planes_padded_p8(monkeypatch):
+    """More than 8 planes in one family: the 3-D ssaf arrays pad their
+    plane dim to a multiple of 8 (Mosaic DMA sublane tiling) with exact
+    identity planes."""
+    from pffdtd_tpu.scene_setup import mats_from_DEF_list, \
+        sim_setup_from_room
+
+    monkeypatch.setenv("PFFDTD_ZPLANE_MIN_COUNT", "1")
+    monkeypatch.setenv("PFFDTD_ZPLANE_MIN_DENSITY", "0.0")
+    rg = _sloped_room()
+    md = mats_from_DEF_list([np.array([[2.0, 5.0, 30.0],
+                                       [1.0, 10.0, 300.0]])])
+    sim = sim_setup_from_room(rg, md, duration=0.018, insig_type="hann10",
+                              h=0.2, vox_backend="numpy", block_size=16)
+    data, _ = _stray_data(sim, 4)
+    zp = data.planes.z
+    assert zp is not None and zp.P > 8 and zp.ssaf.shape[1] % 8 == 0
+    _compare(sim, tile_x=4)
