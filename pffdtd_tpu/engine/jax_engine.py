@@ -481,6 +481,7 @@ def build_step(data: EngineData, energy: bool = False,
             consts["s_soff"] = strays.soff
             consts["s_sr0"] = strays.sr0
             consts["s_sy0"] = strays.sy0
+            consts["s_sz0"] = strays.sz0
 
         def step_pair(carry, sigG, C):
             # the u^n receiver sample is CARRIED from the previous
@@ -492,7 +493,7 @@ def build_step(data: EngineData, energy: bool = False,
             if has_strays:
                 states["s"] = (vh1["s"], gh1["s"])
                 pconsts["s"] = (C["s_nd"], C["s_tab"], C["s_soff"],
-                                C["s_sr0"], C["s_sy0"])
+                                C["s_sr0"], C["s_sy0"], C["s_sz0"])
             adj_arg = C["adjpl"] if apl is not None else C["adj_grid"]
             if backend == "pallas_tb":
                 uN1, uN, taps, ns = fusedp(u1, u0, adj_arg,

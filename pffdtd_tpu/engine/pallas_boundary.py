@@ -1223,11 +1223,13 @@ class BoundaryStrays:
     TS: int
     RW: int              # rows per window (1 or TX)
     YW: int              # y rows per window (multiple of 8)
+    ZW: int              # z lanes per window (multiple of 128; may be Nzp)
     maxc: int            # max chunks owned by one tile (static loop bound)
     nd: np.ndarray       # (n_chunks, 8, TS) f32 packed node data
     soff: np.ndarray     # (NXT + 1,) i32 chunk offset per x tile
     sr0: np.ndarray      # (n_chunks,) i32 window first row (within tile)
     sy0: np.ndarray      # (n_chunks,) i32 window first y (8-aligned)
+    sz0: np.ndarray      # (n_chunks,) i32 window first z (128-aligned)
     tableT: np.ndarray   # (CR8, NmP) b|bd|bDh|bFh|beta coefficient ROWS,
     #                      one column per material (rigid = zeros)
     n_mats: int          # true column count Nmat+1 (incl. the rigid col)
@@ -1241,11 +1243,11 @@ class BoundaryStrays:
         return (self.n_chunks, self.MZS, self.TS)
 
 
-def _stray_chunk_cost(counts, TS, RW, YW, Nzp):
+def _stray_chunk_cost(counts, TS, RW, YW, ZW):
     """Fitted per-step cost (us) of a chunking choice: fixed per-chunk
     overhead (DMA + 9 small-matmul issues) + the exact-one-hot MAC time."""
     nch = int(np.ceil(counts / TS).sum())
-    mac_us = 9.0 * TS * RW * YW * Nzp / 197e6
+    mac_us = 9.0 * TS * RW * YW * ZW / 197e6
     return nch * (3.0 + mac_us)
 
 
@@ -1275,32 +1277,41 @@ def partition_boundary_strays(bnl_ixyz, ssaf, mat_bnl, mat_coeffs,
     ts = ts or int(os.environ.get("PFFDTD_STRAY_TS", "0"))
     yw = yw or int(os.environ.get("PFFDTD_STRAY_YW", "0"))
     rw = rw or int(os.environ.get("PFFDTD_STRAY_RW", "0"))
+    zw_env = int(os.environ.get("PFFDTD_STRAY_ZW", "0"))
+    # sub-Nzp z windows need 128-aligned dynamic lane slices: only offer
+    # them when Nzp itself is a multiple of 128 (so the tail clamp stays
+    # aligned)
+    zws = [zw_env] if zw_env else sorted(
+        {Nzp} | ({256, 512} if Nzp > 512 and Nzp % 128 == 0 else set()))
     cand = []
     for RW in ([rw] if rw else sorted({1, TX})):
         for YW in ([yw] if yw else [32, 64, 128]):
             if YW > Nyp:
                 continue
-            key = (t.astype(np.int64) * TX
-                   + (r if RW == 1 else 0)) * (1 << 20) + iy // YW
-            _, counts = np.unique(key, return_counts=True)
-            for TS in ([ts] if ts else [128, 256, 512, 1024]):
-                # the (Nzp, TS) gather/scatter temporaries live on the
-                # Mosaic VMEM stack (~6 block-sized values) - cap them
-                if not ts and 6 * 4 * TS * Nzp > 16 * 1024 * 1024:
-                    continue
-                cand.append((_stray_chunk_cost(counts, TS, RW, YW, Nzp),
-                             RW, YW, TS))
+            for ZW in zws:
+                key = ((t.astype(np.int64) * TX
+                        + (r if RW == 1 else 0)) * (1 << 20)
+                       + (iy // YW) * (1 << 6) + iz // ZW)
+                _, counts = np.unique(key, return_counts=True)
+                for TS in ([ts] if ts else [128, 256, 512, 1024]):
+                    # the (ZW, TS) gather/scatter temporaries live on the
+                    # Mosaic VMEM stack (~6 block-sized values) - cap them
+                    if not ts and 6 * 4 * TS * ZW > 16 * 1024 * 1024:
+                        continue
+                    cand.append((_stray_chunk_cost(counts, TS, RW, YW, ZW),
+                                 RW, YW, ZW, TS))
     if not cand:   # tiny Nyp: single full-height window per tile
-        cand = [(0.0, rw or TX, Nyp, ts or 512)]
-    _, RW, YW, TS = min(cand)
+        cand = [(0.0, rw or TX, Nyp, zw_env or Nzp, ts or 512)]
+    _, RW, YW, ZW, TS = min(cand)
 
     ywin = np.minimum(iy // YW * YW, max(Nyp - YW, 0))
-    key = ((t.astype(np.int64) * TX + (r if RW == 1 else 0)) * (1 << 20)
-           + ywin)
+    zwin = np.minimum(iz // ZW * ZW, max(Nzp - ZW, 0))
+    key = ((t.astype(np.int64) * TX + (r if RW == 1 else 0)) * (1 << 40)
+           + ywin.astype(np.int64) * (1 << 20) + zwin)
     order = np.lexsort((bnl_ixyz, key))
     ks = key[order]
     # chunk boundaries: new key group or TS-full
-    chunks = []           # (tile, r0, y0, slice into order)
+    chunks = []           # (tile, r0, y0, z0, slice into order)
     i = 0
     while i < N:
         j = i
@@ -1308,7 +1319,7 @@ def partition_boundary_strays(bnl_ixyz, ssaf, mat_bnl, mat_coeffs,
             j += 1
         oi = order[i]
         chunks.append((int(t[oi]), 0 if RW != 1 else int(r[oi]),
-                       int(ywin[oi]), slice(i, j)))
+                       int(ywin[oi]), int(zwin[oi]), slice(i, j)))
         i = j
     n_chunks = max(1, len(chunks))
 
@@ -1327,17 +1338,19 @@ def partition_boundary_strays(bnl_ixyz, ssaf, mat_bnl, mat_coeffs,
     soff = np.zeros(NXT + 1, np.int32)
     sr0 = np.zeros(n_chunks, np.int32)
     sy0 = np.zeros(n_chunks, np.int32)
+    sz0 = np.zeros(n_chunks, np.int32)
     node_slot = np.zeros(N, np.int64)
     per_tile = np.zeros(NXT, np.int64)
-    for c, (tc, r0, y0, sl) in enumerate(chunks):
+    for c, (tc, r0, y0, z0, sl) in enumerate(chunks):
         per_tile[tc] += 1
         sr0[c] = r0
         sy0[c] = y0
+        sz0[c] = z0
         o = order[sl]
         n = o.size
         assert 0 <= int((r[o] - r0).min()) and int((r[o] - r0).max()) < RW
         nd[c, 0, :n] = (r[o] - r0) * YW + (iy[o] - y0)
-        nd[c, 1, :n] = iz[o]
+        nd[c, 1, :n] = iz[o] - z0
         nd[c, 2, :n] = mat_bnl[o]
         nd[c, 3, :n] = np.asarray(ssaf[o], np.float32)
         nd[c, 4, :n] = 1.0
@@ -1345,9 +1358,10 @@ def partition_boundary_strays(bnl_ixyz, ssaf, mat_bnl, mat_coeffs,
     soff[1:] = np.cumsum(per_tile)
     assert soff[-1] == len(chunks) or not chunks
     maxc = int(per_tile.max()) if chunks else 0
-    return BoundaryStrays(n_chunks=n_chunks, TS=TS, RW=RW, YW=YW,
+    assert ZW == Nzp or (ZW % 128 == 0 and not np.any(sz0 % 128))
+    return BoundaryStrays(n_chunks=n_chunks, TS=TS, RW=RW, YW=YW, ZW=ZW,
                           maxc=maxc, nd=nd, soff=soff, sr0=sr0, sy0=sy0,
-                          tableT=tableT, n_mats=Nm + 1,
+                          sz0=sz0, tableT=tableT, n_mats=Nm + 1,
                           node_slot=node_slot)
 
 

@@ -274,11 +274,14 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
             "stray fusion needs the masked bulk (off-plane masked values)"
         from pffdtd_tpu.io.h5 import MMb as S_MMB
         S_TS, S_RW, S_YW = st.TS, st.RW, st.YW
+        S_ZW = st.ZW
         S_MZS, S_MAXC = st.MZS, st.maxc
         S_CR8, S_NmP = st.tableT.shape
         S_NM = st.n_mats
         S_WW = S_RW * S_YW
+        S_ZFULL = S_ZW == Nzp
         assert S_RW in (1, TX) and S_YW % 8 == 0 and S_TS % 128 == 0
+        assert S_ZFULL or S_ZW % 128 == 0
 
     cfull = npdt(two - sl2 * npdt(NN))
     # PFFDTD_ABLATE: comma list of kernel pieces to SKIP (perf debugging
@@ -322,6 +325,7 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
         ssoff = next(it) if NST else None  # SMEM (NXT+1,) i32
         ssr0 = next(it) if NST else None   # SMEM (NCH,) i32
         ssy0 = next(it) if NST else None   # SMEM (NCH,) i32
+        ssz0 = next(it) if NST else None   # SMEM (NCH,) i32
         u3_h = next(it)
         u2_h = next(it)
         zvo_h = next(it) if PZ else None
@@ -810,17 +814,19 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                 the output ring (cpu_engine.h:362-405 per node).  Padding
                 lanes (valid=0) force delta/states to exactly 0."""
                 y0 = pl.multiple_of(ssy0[c], 8)
+                zsl = slice(None) if S_ZFULL else \
+                    pl.ds(pl.multiple_of(ssz0[c], 128), S_ZW)
                 if S_RW == TX:
-                    win = outr[oslot, :, pl.ds(y0, S_YW), :]
+                    win = outr[oslot, :, pl.ds(y0, S_YW), zsl]
                     pwin = prev_ref[pslot, pbase:pbase + TX,
-                                    pl.ds(y0, S_YW), :]
+                                    pl.ds(y0, S_YW), zsl]
                 else:
                     r0 = ssr0[c]
-                    win = outr[oslot, pl.ds(r0, 1), pl.ds(y0, S_YW), :]
+                    win = outr[oslot, pl.ds(r0, 1), pl.ds(y0, S_YW), zsl]
                     pwin = prev_ref[pslot, pl.ds(pbase + r0, 1),
-                                    pl.ds(y0, S_YW), :]
-                w2 = win.reshape(S_WW, Nzp)
-                p2 = pwin.reshape(S_WW, Nzp)
+                                    pl.ds(y0, S_YW), zsl]
+                w2 = win.reshape(S_WW, S_ZW)
+                p2 = pwin.reshape(S_WW, S_ZW)
                 ndw = sndb[sl, 0:1, :].astype(jnp.int32)     # (1, TS)
                 ndz = sndb[sl, 1:2, :].astype(jnp.int32)
                 ndm = sndb[sl, 2:3, :]
@@ -829,10 +835,10 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                 iw = jax.lax.broadcasted_iota(jnp.int32, (S_WW, S_TS), 0)
                 g1 = (iw == ndw).astype(jnp.bfloat16 if dtype ==
                                         jnp.float32 else dtype)
-                iz_ = jax.lax.broadcasted_iota(jnp.int32, (Nzp, S_TS), 0)
+                iz_ = jax.lax.broadcasted_iota(jnp.int32, (S_ZW, S_TS), 0)
                 zm = (iz_ == ndz).astype(dtype)
                 d00 = ((0,), (0,))
-                pb = _sdot(w2, g1, d00, 0)                   # (Nzp, TS)
+                pb = _sdot(w2, g1, d00, 0)                   # (ZW, TS)
                 ub = jnp.sum(pb * zm, axis=0, keepdims=True)
                 pp = _sdot(p2, g1, d00, 0)
                 u2b = jnp.sum(pp * zm, axis=0, keepdims=True)
@@ -860,16 +866,16 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                 delta = jnp.where(ok_, ub_new - ub, zero)
                 ssvb[sl, 0:MB, :] = jnp.where(ok_, vh0, zero)
                 ssgb[sl, 0:MB, :] = jnp.where(ok_, gh_new, zero)
-                dmat = zm * delta                            # (Nzp, TS)
-                dw = _sdot(g1, dmat, ((1,), (1,)), 1)        # (WW, Nzp)
+                dmat = zm * delta                            # (ZW, TS)
+                dw = _sdot(g1, dmat, ((1,), (1,)), 1)        # (WW, ZW)
                 if S_RW == TX:
-                    outr[oslot, :, pl.ds(y0, S_YW), :] = (
-                        outr[oslot, :, pl.ds(y0, S_YW), :]
-                        + dw.reshape(TX, S_YW, Nzp))
+                    outr[oslot, :, pl.ds(y0, S_YW), zsl] = (
+                        outr[oslot, :, pl.ds(y0, S_YW), zsl]
+                        + dw.reshape(TX, S_YW, S_ZW))
                 else:
-                    outr[oslot, pl.ds(r0, 1), pl.ds(y0, S_YW), :] = (
-                        outr[oslot, pl.ds(r0, 1), pl.ds(y0, S_YW), :]
-                        + dw.reshape(1, S_YW, Nzp))
+                    outr[oslot, pl.ds(r0, 1), pl.ds(y0, S_YW), zsl] = (
+                        outr[oslot, pl.ds(r0, 1), pl.ds(y0, S_YW), zsl]
+                        + dw.reshape(1, S_YW, S_ZW))
 
             def stray_pass(outr, oslot, prev_ref, pslot, pbase, t, first):
                 """In-pair stray-node boundary pass for tile t's chunks
@@ -1439,18 +1445,18 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
             oidx += 2
         if NST:
             svh, sgh = states["s"]
-            nd_a, tab_a, soff_a, sr0_a, sy0_a = pconsts["s"]
-            ins += [svh, sgh, nd_a, tab_a, soff_a, sr0_a, sy0_a]
+            nd_a, tab_a, soff_a, sr0_a, sy0_a, sz0_a = pconsts["s"]
+            ins += [svh, sgh, nd_a, tab_a, soff_a, sr0_a, sy0_a, sz0_a]
             in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * 3 \
                 + [pl.BlockSpec(memory_space=pltpu.VMEM)] \
-                + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 3
+                + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 4
             outs += [jax.ShapeDtypeStruct(svh.shape, dtype),
                      jax.ShapeDtypeStruct(sgh.shape, dtype)]
             out_specs += [pl.BlockSpec(memory_space=pl.ANY)] * 2
             al[idx] = oidx
             al[idx + 1] = oidx + 1
             fams.append("s")
-            idx += 7
+            idx += 8
             oidx += 2
         res = pl.pallas_call(
             kernel,

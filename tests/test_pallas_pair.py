@@ -278,3 +278,16 @@ def test_pair_planes_padded_p8(monkeypatch):
     zp = data.planes.z
     assert zp is not None and zp.P > 8 and zp.ssaf.shape[1] % 8 == 0
     _compare(sim, tile_x=4)
+
+
+def test_pair_strays_zwindow(monkeypatch):
+    """Sub-Nzp z-windowed stray chunks (the long-hall configuration:
+    gather/scatter matmuls restricted to a 128-lane window)."""
+    monkeypatch.setenv("PFFDTD_ZPLANE_MIN_COUNT", "1000000000")
+    monkeypatch.setenv("PFFDTD_STRAY_ZW", "128")
+    sim = synthetic_box_sim(1.6, 1.2, 26.0, h=0.1, Nt=24, lossy=True,
+                            insig_type="hann10", diff_source=False)
+    data, ns = _stray_data(sim, 4)
+    st = data.strays
+    assert ns > 0 and st.ZW == 128 and int(st.sz0.max()) >= 128
+    _compare(sim, tile_x=4)
