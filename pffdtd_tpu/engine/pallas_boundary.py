@@ -982,7 +982,10 @@ def partition_boundary_zplanes(bnl_ixyz, ssaf, mat_bnl, mat_coeffs,
     # identity planes (the kernel only loops the true P)
     P8 = P if P <= 8 else -(-P // 8) * 8
     ssaf_pl = np.zeros((Nxp, P8, Nyw), dtype)
-    coefs = np.zeros((P, 5 * MZ, Nyw), dtype)
+    # coefficient rows are per-plane CONSTANTS: store one 128-lane tile
+    # and broadcast in-kernel (lane-replicating to plane width costs MBs
+    # of VMEM at hall scale)
+    coefs = np.zeros((P, 5 * MZ, 128), dtype)
     zp = np.zeros(P, np.int32)
     xlo = np.zeros(P, np.int32)
     xhi = np.zeros(P, np.int32)
@@ -1092,8 +1095,10 @@ class BoundaryPlanes:
 
 
 def _plane_coefs(mat_coeffs, mats, MZ, W, dtype):
-    """(P, 5*MZ, W) b|bd|bDh|bFh|beta rows, lane-replicated."""
+    """(P, 5*MZ, 128) b|bd|bDh|bFh|beta rows (one lane tile: the kernels
+    broadcast from lane 0 - W is accepted for call-site compatibility)."""
     P = len(mats)
+    W = 128
     out = np.zeros((P, 5 * MZ, W), dtype)
     pad = np.zeros(MZ - MMb)
     for p, mat in enumerate(mats):

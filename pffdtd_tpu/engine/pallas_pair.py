@@ -744,7 +744,9 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
 
                 ub/u2b: (TX, W) node values (post-air) and u^{n-1}; vh/gh:
                 (TX, MZ, W); sa: (TX, W) ssaf (0 = exact identity); co:
-                (5*MZ, W) rows b|bd|bDh|bFh|beta (cpu_engine.h:362-405)."""
+                (5*MZ, 128) rows b|bd|bDh|bFh|beta, lane-broadcast from
+                lane 0 (cpu_engine.h:362-405)."""
+                co = co[:, 0:1]
                 b = co[0 * MZ:1 * MZ]
                 bd = co[1 * MZ:2 * MZ]
                 bDh = co[2 * MZ:3 * MZ]
@@ -837,11 +839,13 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                                         jnp.float32 else dtype)
                 iz_ = jax.lax.broadcasted_iota(jnp.int32, (S_ZW, S_TS), 0)
                 zm = (iz_ == ndz).astype(dtype)
-                d00 = ((0,), (0,))
-                pb = _sdot(w2, g1, d00, 0)                   # (ZW, TS)
-                ub = jnp.sum(pb * zm, axis=0, keepdims=True)
-                pp = _sdot(p2, g1, d00, 0)
-                u2b = jnp.sum(pp * zm, axis=0, keepdims=True)
+                # both gathers in ONE 3-split matmul set (per-chunk cost
+                # is small-matmul-issue-bound, ~0.35us each): the current
+                # and previous windows concatenate along z
+                wcat = jnp.concatenate([w2, p2], axis=1)     # (WW, 2*ZW)
+                pb = _sdot(wcat, g1, ((0,), (0,)), 0)        # (2*ZW, TS)
+                ub = jnp.sum(pb[:S_ZW] * zm, axis=0, keepdims=True)
+                u2b = jnp.sum(pb[S_ZW:] * zm, axis=0, keepdims=True)
                 # per-node coefficients: masked sum over material columns
                 # (exact - plain f32 adds of disjoint one-hot terms)
                 co = None

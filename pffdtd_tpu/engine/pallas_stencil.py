@@ -103,6 +103,7 @@ def build_fused_stencil(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
     # and get zero-padded up to match
     Nyw = zplanes.ssaf.shape[2] if P else 0
     MZ = zplanes.MZ if P else 8
+    P8 = zplanes.ssaf.shape[1] if P else 0   # 8-padded plane dim
 
     # tile that contains the high-x halo row (its slab needs the x flip)
     t_hi = (Nx - 2 - 1) // TX           # tile updating global row Nx-2
@@ -320,11 +321,11 @@ def build_fused_stencil(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                         sa = zs_all[:, p]
                         vh = zv_all[:, p]                       # (TX,MZ,Nyw)
                         gh = zg_all[:, p]
-                        b = zco[p, 0 * MZ:1 * MZ][None]
-                        bd = zco[p, 1 * MZ:2 * MZ][None]
-                        bDh = zco[p, 2 * MZ:3 * MZ][None]
-                        bFh = zco[p, 3 * MZ:4 * MZ][None]
-                        beta = zco[p, 4 * MZ:4 * MZ + 1]        # (1, Nyw)
+                        b = zco[p, 0 * MZ:1 * MZ, 0:1][None]
+                        bd = zco[p, 1 * MZ:2 * MZ, 0:1][None]
+                        bDh = zco[p, 2 * MZ:3 * MZ, 0:1][None]
+                        bFh = zco[p, 3 * MZ:4 * MZ, 0:1][None]
+                        beta = zco[p, 4 * MZ:4 * MZ + 1, 0:1]   # (1, 1)
                         lo2Kbg = lo2 * sa * beta
                         ub_new = ub - lv_ * sa * jnp.sum(
                             2.0 * bDh * vh - bFh * gh, axis=1)
@@ -377,7 +378,7 @@ def build_fused_stencil(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                             max(Nyw, 128)), dtype),
             zgh=pltpu.VMEM((2, TX, max(P, 1), max(MZ, 8),
                             max(Nyw, 128)), dtype),
-            zsf=pltpu.VMEM((2, TX, max(P, 1), max(Nyw, 128)), dtype),
+            zsf=pltpu.VMEM((2, TX, max(P8, 1), max(Nyw, 128)), dtype),
             sem_in=pltpu.SemaphoreType.DMA((2, 3)),
             sem_out=pltpu.SemaphoreType.DMA((2,)),
             sem_pre=pltpu.SemaphoreType.DMA((2,)),

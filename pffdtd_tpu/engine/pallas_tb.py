@@ -607,7 +607,9 @@ def build_fused_tb(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
 
             def ode(ub, u2b, vh, gh, sa, co):
                 """One impedance-ODE step on dense plane values
-                (cpu_engine.h:362-405 semantics)."""
+                (cpu_engine.h:362-405 semantics); co rows lane-broadcast
+                from lane 0."""
+                co = co[:, 0:1]
                 b = co[0 * MZ:1 * MZ]
                 bd = co[1 * MZ:2 * MZ]
                 bDh = co[2 * MZ:3 * MZ]
