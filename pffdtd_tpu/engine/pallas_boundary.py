@@ -1230,7 +1230,9 @@ class BoundaryStrays:
     YW: int              # y rows per window (multiple of 8)
     ZW: int              # z lanes per window (multiple of 128; may be Nzp)
     maxc: int            # max chunks owned by one tile (static loop bound)
-    nd: np.ndarray       # (n_chunks, 8, TS) f32 packed node data
+    SEG: int             # chunks per state/nd DMA segment; the arrays are
+    #                      padded by SEG rows so tail segments over-fetch
+    nd: np.ndarray       # (n_chunks + SEG, 8, TS) f32 packed node data
     soff: np.ndarray     # (NXT + 1,) i32 chunk offset per x tile
     sr0: np.ndarray      # (n_chunks,) i32 window first row (within tile)
     sy0: np.ndarray      # (n_chunks,) i32 window first y (8-aligned)
@@ -1245,7 +1247,7 @@ class BoundaryStrays:
         return -(-MMb // 8) * 8
 
     def state_shape(self):
-        return (self.n_chunks, self.MZS, self.TS)
+        return (self.n_chunks + self.SEG, self.MZS, self.TS)
 
 
 def _stray_chunk_cost(counts, TS, RW, YW, ZW):
@@ -1338,7 +1340,8 @@ def partition_boundary_strays(bnl_ixyz, ssaf, mat_bnl, mat_coeffs,
     tableT[3 * MMb:4 * MMb, :Nm + 1] = mat_coeffs.bFh.T
     tableT[4 * MMb, :Nm + 1] = mat_coeffs.beta
 
-    nd = np.zeros((n_chunks, 8, TS), np.float32)
+    SEG = 4
+    nd = np.zeros((n_chunks + SEG, 8, TS), np.float32)
     nd[:, 2, :] = Nm                      # padding -> rigid (zero) column
     soff = np.zeros(NXT + 1, np.int32)
     sr0 = np.zeros(n_chunks, np.int32)
@@ -1365,8 +1368,8 @@ def partition_boundary_strays(bnl_ixyz, ssaf, mat_bnl, mat_coeffs,
     maxc = int(per_tile.max()) if chunks else 0
     assert ZW == Nzp or (ZW % 128 == 0 and not np.any(sz0 % 128))
     return BoundaryStrays(n_chunks=n_chunks, TS=TS, RW=RW, YW=YW, ZW=ZW,
-                          maxc=maxc, nd=nd, soff=soff, sr0=sr0, sy0=sy0,
-                          sz0=sz0, tableT=tableT, n_mats=Nm + 1,
+                          maxc=maxc, SEG=SEG, nd=nd, soff=soff, sr0=sr0,
+                          sy0=sy0, sz0=sz0, tableT=tableT, n_mats=Nm + 1,
                           node_slot=node_slot)
 
 

@@ -279,6 +279,7 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
         S_CR8, S_NmP = st.tableT.shape
         S_NM = st.n_mats
         S_WW = S_RW * S_YW
+        S_SEG = st.SEG
         S_ZFULL = S_ZW == Nzp
         assert S_RW in (1, TX) and S_YW % 8 == 0 and S_TS % 128 == 0
         assert S_ZFULL or S_ZW % 128 == 0
@@ -806,7 +807,7 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                     acc = d if acc is None else acc + d
                 return acc
 
-            def _schunk(c, sl, outr, oslot, prev_ref, pslot, pbase):
+            def _schunk(c, bj, outr, oslot, prev_ref, pslot, pbase):
                 """Impedance-ODE step on one packed stray chunk.
 
                 Gathers ub (post-air value) from the resident output block
@@ -829,11 +830,11 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                                     pl.ds(y0, S_YW), zsl]
                 w2 = win.reshape(S_WW, S_ZW)
                 p2 = pwin.reshape(S_WW, S_ZW)
-                ndw = sndb[sl, 0:1, :].astype(jnp.int32)     # (1, TS)
-                ndz = sndb[sl, 1:2, :].astype(jnp.int32)
-                ndm = sndb[sl, 2:3, :]
-                sa = sndb[sl, 3:4, :]
-                ok_ = sndb[sl, 4:5, :] > 0
+                ndw = sndb[bj, 0:1, :].astype(jnp.int32)     # (1, TS)
+                ndz = sndb[bj, 1:2, :].astype(jnp.int32)
+                ndm = sndb[bj, 2:3, :]
+                sa = sndb[bj, 3:4, :]
+                ok_ = sndb[bj, 4:5, :] > 0
                 iw = jax.lax.broadcasted_iota(jnp.int32, (S_WW, S_TS), 0)
                 g1 = (iw == ndw).astype(jnp.bfloat16 if dtype ==
                                         jnp.float32 else dtype)
@@ -858,8 +859,8 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                 bDh = co[2 * MB:3 * MB]
                 bFh = co[3 * MB:4 * MB]
                 beta = co[4 * MB:4 * MB + 1]
-                vh = ssvb[sl, 0:MB, :]
-                gh = ssgb[sl, 0:MB, :]
+                vh = ssvb[bj, 0:MB, :]
+                gh = ssgb[bj, 0:MB, :]
                 lo2Kbg = lo2 * sa * beta
                 ub_new = ub - lv * sa * jnp.sum(
                     two * bDh * vh - bFh * gh, axis=0, keepdims=True)
@@ -868,8 +869,8 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                 gh_new = gh + half * (vh0 + vh)
                 zero = jnp.zeros((), dtype)
                 delta = jnp.where(ok_, ub_new - ub, zero)
-                ssvb[sl, 0:MB, :] = jnp.where(ok_, vh0, zero)
-                ssgb[sl, 0:MB, :] = jnp.where(ok_, gh_new, zero)
+                ssvb[bj, 0:MB, :] = jnp.where(ok_, vh0, zero)
+                ssgb[bj, 0:MB, :] = jnp.where(ok_, gh_new, zero)
                 dmat = zm * delta                            # (ZW, TS)
                 dw = _sdot(g1, dmat, ((1,), (1,)), 1)        # (WW, ZW)
                 if S_RW == TX:
@@ -900,86 +901,112 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                 c0 = ssoff[t]
                 c1 = ssoff[t + 1]
 
-                def cin(c, sl):
+                # SEGMENTED DMA: SEG chunks per copy (per-chunk copies
+                # made DMA-issue cost the dominant fixed term).  The tail
+                # segment over-fetches into the next tile's chunks (host
+                # pads the arrays) and writes those rows back VERBATIM -
+                # benign: they are not computed, the values are unchanged,
+                # and each pass drains before the next one reads them.
+                def sin(s, sl):
+                    cs = c0 + s * S_SEG
+                    b = sl * S_SEG
                     return [
-                        pltpu.make_async_copy(snd_h.at[pl.ds(c, 1)],
-                                              sndb.at[pl.ds(sl, 1)],
+                        pltpu.make_async_copy(snd_h.at[pl.ds(cs, S_SEG)],
+                                              sndb.at[pl.ds(b, S_SEG)],
                                               sem_si.at[sl, 0]),
-                        pltpu.make_async_copy(vin_h.at[pl.ds(c, 1)],
-                                              ssvb.at[pl.ds(sl, 1)],
+                        pltpu.make_async_copy(vin_h.at[pl.ds(cs, S_SEG)],
+                                              ssvb.at[pl.ds(b, S_SEG)],
                                               sem_si.at[sl, 1]),
-                        pltpu.make_async_copy(gin_h.at[pl.ds(c, 1)],
-                                              ssgb.at[pl.ds(sl, 1)],
+                        pltpu.make_async_copy(gin_h.at[pl.ds(cs, S_SEG)],
+                                              ssgb.at[pl.ds(b, S_SEG)],
                                               sem_si.at[sl, 2]),
                     ]
 
-                def cout(c, sl):
+                def sout(s, sl):
+                    cs = c0 + s * S_SEG
+                    b = sl * S_SEG
                     return [
-                        pltpu.make_async_copy(ssvb.at[pl.ds(sl, 1)],
-                                              svo_h.at[pl.ds(c, 1)],
+                        pltpu.make_async_copy(ssvb.at[pl.ds(b, S_SEG)],
+                                              svo_h.at[pl.ds(cs, S_SEG)],
                                               sem_so.at[sl, 0]),
-                        pltpu.make_async_copy(ssgb.at[pl.ds(sl, 1)],
-                                              sgo_h.at[pl.ds(c, 1)],
+                        pltpu.make_async_copy(ssgb.at[pl.ds(b, S_SEG)],
+                                              sgo_h.at[pl.ds(cs, S_SEG)],
                                               sem_so.at[sl, 1]),
                     ]
 
+                def seg_compute(s, sl):
+                    cs = c0 + s * S_SEG
+
+                    def jbody(j, _):
+                        @pl.when(cs + j < c1)
+                        def _():
+                            _schunk(cs + j, sl * S_SEG + j, outr, oslot,
+                                    prev_ref, pslot, pbase)
+                        return _
+
+                    jax.lax.fori_loop(0, S_SEG, jbody, None, unroll=False)
+
                 @pl.when(c0 < c1)
                 def _():
-                    for cp in cin(c0, 0):
+                    for cp in sin(0, 0):
                         cp.start()
 
-                def kbody(k, _):
-                    c = c0 + 2 * k
+                NSEG = -(-S_MAXC // S_SEG)
 
-                    @pl.when(c < c1)
+                def kbody(k, _):
+                    s = 2 * k
+                    cs = c0 + s * S_SEG
+
+                    @pl.when(cs < c1)
                     def _():
-                        for cp in cin(c, 0):
+                        for cp in sin(s, 0):
                             cp.wait()
 
-                        @pl.when(c + 1 < c1)
+                        @pl.when(cs + S_SEG < c1)
                         def _():
                             @pl.when(k > 0)
                             def _():
-                                for cp in cout(c - 1, 1):
+                                for cp in sout(s - 1, 1):
                                     cp.wait()
-                            for cp in cin(c + 1, 1):
+                            for cp in sin(s + 1, 1):
                                 cp.start()
-                        _schunk(c, 0, outr, oslot, prev_ref, pslot, pbase)
-                        for cp in cout(c, 0):
+                        seg_compute(s, 0)
+                        for cp in sout(s, 0):
                             cp.start()
 
-                    @pl.when(c + 1 < c1)
+                    cs2 = cs + S_SEG
+
+                    @pl.when(cs2 < c1)
                     def _():
-                        for cp in cin(c + 1, 1):
+                        for cp in sin(s + 1, 1):
                             cp.wait()
 
-                        @pl.when(c + 2 < c1)
+                        @pl.when(cs2 + S_SEG < c1)
                         def _():
-                            for cp in cout(c, 0):
+                            for cp in sout(s, 0):
                                 cp.wait()
-                            for cp in cin(c + 2, 0):
+                            for cp in sin(s + 2, 0):
                                 cp.start()
-                        _schunk(c + 1, 1, outr, oslot, prev_ref, pslot,
-                                pbase)
-                        for cp in cout(c + 1, 1):
+                        seg_compute(s + 1, 1)
+                        for cp in sout(s + 1, 1):
                             cp.start()
                     return _
 
-                jax.lax.fori_loop(0, (S_MAXC + 1) // 2, kbody, None,
+                jax.lax.fori_loop(0, (NSEG + 1) // 2, kbody, None,
                                   unroll=False)
-                # drain: exactly one cout per used slot is still pending
+                # drain: exactly one sout per used slot is still pending
                 # (sem waits match by semaphore + size; address is not
                 # part of the wait)
-                nn = c1 - c0
+                nseg = (c1 - c0 + S_SEG - 1) // S_SEG
 
-                @pl.when(nn >= 1)
+                @pl.when(nseg >= 1)
                 def _():
-                    for cp in cout(c0, 0):
+                    for cp in sout(0, 0):
                         cp.wait()
 
-                @pl.when(nn >= 2)
+                @pl.when(nseg >= 2)
                 def _():
-                    for cp in cout(c0, 1):
+                    for cp in sout(0, 1):
                         cp.wait()
 
             def zplane_stage(outr, slot, prev_ref, pslot, pbase,
@@ -1382,9 +1409,9 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
             scratch["sem_xo"] = pltpu.SemaphoreType.DMA((1,))
         if NST:
             scratch.update(
-                sndb=pltpu.VMEM((2, 8, S_TS), jnp.float32),
-                ssvb=pltpu.VMEM((2, S_MZS, S_TS), dtype),
-                ssgb=pltpu.VMEM((2, S_MZS, S_TS), dtype),
+                sndb=pltpu.VMEM((2 * S_SEG, 8, S_TS), jnp.float32),
+                ssvb=pltpu.VMEM((2 * S_SEG, S_MZS, S_TS), dtype),
+                ssgb=pltpu.VMEM((2 * S_SEG, S_MZS, S_TS), dtype),
                 sem_si=pltpu.SemaphoreType.DMA((2, 3)),
                 sem_so=pltpu.SemaphoreType.DMA((2, 2)))
         else:
