@@ -1521,6 +1521,9 @@ def pick_tile_pair(Nyp, Nzp, adj_bytes=2, dtype_bytes=4,
     pathological Mosaic compile mode (remote compiles of 20+ minutes
     observed where TX<=8 variants take 1-3) with no bandwidth upside -
     the per-visit DMA is already row-granular and deep."""
+    env = os.environ.get("PFFDTD_PAIR_BUDGET_MB")
+    if env:
+        budget_bytes = int(float(env) * 1024 * 1024)
     plane = Nyp * Nzp
     for TX in (8, 6, 4, 3):
         need = plane * (
