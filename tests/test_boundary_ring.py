@@ -87,3 +87,59 @@ def test_ring_matches_auto_dense_runs():
 def test_ring_single_window():
     # everything in one window: warm-up + drain paths with n_seq = 1
     _case(n_elements=128 * 128 * 2, nodes=300, T=128, wr=256, seed=11)
+
+
+def test_stray_partition_invariants():
+    """partition_boundary_strays: every node lands in a chunk owned by
+    its x-tile, inside the chunk's window, with exact f32 node data."""
+    import numpy as np
+    from pffdtd_tpu.engine.coeffs import MatCoeffs
+    from pffdtd_tpu.engine.pallas_boundary import (MMb,
+                                                   partition_boundary_strays)
+
+    rng = np.random.default_rng(7)
+    Nxp, Nyp, Nzp = 34, 48, 384
+    TX = 4
+    NXT = -(-(Nxp - 2) // TX)
+    N = 3000
+    flat = rng.choice(Nxp * Nyp * Nzp, N, replace=False)
+    # keep interior x rows only (1..Nx-2)
+    ix = flat // (Nyp * Nzp)
+    flat = flat[(ix >= 1) & (ix <= Nxp - 2)]
+    N = flat.size
+    ssaf = rng.uniform(0.5, 2.0, N).astype(np.float32)
+    mats = rng.integers(0, 3, N).astype(np.int32)
+    mc = MatCoeffs.from_mats(None, 1e-5) if False else None
+    # minimal MatCoeffs stand-in
+    class MC:
+        b = np.ones((4, MMb))
+        bd = np.ones((4, MMb)) * 2
+        bDh = np.ones((4, MMb)) * 3
+        bFh = np.ones((4, MMb)) * 4
+        beta = np.arange(4, dtype=float)
+    st = partition_boundary_strays(flat, ssaf, mats, MC, (Nxp, Nyp, Nzp),
+                                   TX, NXT)
+    assert st.soff.shape == (NXT + 1,) and st.soff[-1] == st.n_chunks
+    assert st.nd.shape[0] == st.n_chunks + st.SEG
+    iz = flat % Nzp
+    iy = (flat // Nzp) % Nyp
+    ixn = flat // (Nyp * Nzp)
+    for i in range(N):
+        slot = st.node_slot[i]
+        c, j = divmod(int(slot), st.TS)
+        t = int(np.searchsorted(st.soff, c, side="right")) - 1
+        assert (ixn[i] - 1) // TX == t          # chunk owned by the tile
+        w = int(st.nd[c, 0, j])
+        r = w // st.YW + (int(st.sr0[c]) if st.RW == 1 else 0)
+        y = w % st.YW + int(st.sy0[c])
+        z = int(st.nd[c, 1, j]) + int(st.sz0[c])
+        assert r == (ixn[i] - 1) % TX or st.RW == 1
+        assert y == iy[i] and z == iz[i]
+        assert st.nd[c, 2, j] == mats[i]
+        assert st.nd[c, 3, j] == ssaf[i]
+        assert st.nd[c, 4, j] == 1.0
+    # padding lanes are invalid
+    for c in range(st.n_chunks):
+        n = int((st.nd[c, 4] > 0).sum())
+        assert np.all(st.nd[c, 4, :n] == 1.0)
+        assert np.all(st.nd[c, 4, n:] == 0.0)
