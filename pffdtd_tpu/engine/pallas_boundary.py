@@ -1317,17 +1317,21 @@ def partition_boundary_strays(bnl_ixyz, ssaf, mat_bnl, mat_coeffs,
            + ywin.astype(np.int64) * (1 << 20) + zwin)
     order = np.lexsort((bnl_ixyz, key))
     ks = key[order]
-    # chunk boundaries: new key group or TS-full
-    chunks = []           # (tile, r0, y0, z0, slice into order)
-    i = 0
-    while i < N:
-        j = i
-        while j < N and ks[j] == ks[i] and j - i < TS:
-            j += 1
-        oi = order[i]
-        chunks.append((int(t[oi]), 0 if RW != 1 else int(r[oi]),
-                       int(ywin[oi]), int(zwin[oi]), slice(i, j)))
-        i = j
+    # chunk boundaries: new key group or TS-full (vectorised - the naive
+    # per-node loop costs minutes at hall scale)
+    if N:
+        newg = np.r_[True, ks[1:] != ks[:-1]]
+        gstart = np.maximum.accumulate(np.where(newg, np.arange(N), 0))
+        cstart = newg | ((np.arange(N) - gstart) % TS == 0)
+        cid = np.cumsum(cstart) - 1            # chunk id per sorted node
+        starts = np.flatnonzero(cstart)
+        ends = np.r_[starts[1:], N]
+    else:
+        cid = np.zeros(0, np.int64)
+        starts = ends = np.zeros(0, np.int64)
+    chunks = [(int(t[order[i]]), 0 if RW != 1 else int(r[order[i]]),
+               int(ywin[order[i]]), int(zwin[order[i]]), slice(i, j))
+              for i, j in zip(starts, ends)]
     n_chunks = max(1, len(chunks))
 
     Nm = mat_coeffs.b.shape[0] - 1
