@@ -211,12 +211,6 @@ def main():
                 secondary[key] = run_synthetic(fcc, lossy, Lx, Ly, Lz, h, nt)
             except Exception as e:  # noqa: BLE001 - keep the bench alive
                 print(f"  {key} failed: {e}", file=sys.stderr)
-        if os.path.exists("/root/reference/data"):
-            try:  # the real hall (sloped surfaces -> single-step + hybrid
-                # path): tracks the fallback engine's speed on real geometry
-                secondary["mv_fcc_lossy"] = run_real_mv(nt)
-            except Exception as e:  # noqa: BLE001
-                print(f"  mv_fcc_lossy failed: {e}", file=sys.stderr)
         try:
             # the reference's defining capability is billion-voxel grids
             # (8.95e9-32.4e9 across GPUs, pffdtd_benchmarks.csv:36-50);
@@ -247,6 +241,13 @@ def main():
             secondary["sharded_pair_vs_single_frac"] = frac
         except Exception as e:  # noqa: BLE001 - secondary must not kill bench
             print(f"  sharded_pair_tpu failed: {e}", file=sys.stderr)
+        if os.path.exists("/root/reference/data"):
+            try:  # the real hall through the pair+strays path.  LAST:
+                # its ~25-min Mosaic compile is the riskiest item in the
+                # bench (a compile-service crash must not cost the rest)
+                secondary["mv_fcc_lossy"] = run_real_mv(nt)
+            except Exception as e:  # noqa: BLE001
+                print(f"  mv_fcc_lossy failed: {e}", file=sys.stderr)
     elif cfg != "fcc_lossy":
         fcc = cfg.startswith("fcc")
         lossy = cfg.endswith("lossy")
