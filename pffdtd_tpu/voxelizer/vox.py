@@ -74,6 +74,7 @@ class VoxScene:
         if backend in ("auto", "native"):
             try:
                 self._calc_adj_native(block_size)
+                self._symmetrize_adj()
                 self._finalise_materials()
                 return
             except Exception as e:  # noqa: BLE001 - fall back to numpy
@@ -81,7 +82,77 @@ class VoxScene:
                     raise
                 self.print(f"native backend unavailable ({e}); using numpy")
         self._calc_adj_numpy(block_size)
+        self._symmetrize_adj()
         self._finalise_materials()
+
+    def _symmetrize_adj(self):
+        """Enforce mutual adjacency: a cut leg cuts BOTH directions.
+
+        The per-leg ray casts evaluate each segment twice (once per
+        endpoint) with different fp rounding, so a hit exactly on a
+        triangle edge (geometry aligned to the grid - seen on the real
+        CTK church at fmax=1400) can be counted from one side only, and
+        near-boundary full-rigid nodes cut legs their partners never
+        tested.  Mutual adjacency is the stability precondition (the
+        energy analysis assumes a symmetric graph; reference check:
+        vox_scene.py:496-529), so the rare asymmetric legs are resolved
+        cut-wins here.  One pass suffices: an induced cut's own partner
+        is the original cut.  Partners not yet in the boundary list are
+        appended (full adjacency except the cut legs, material from the
+        partner's nearest triangle)."""
+        bn, adj = self.bn_ixyz, self.adj_bn
+        if not bn.size:
+            return
+        cg = self.cg
+        NyNz = cg.Ny * cg.Nz
+        iv = self.VV.astype(np.int64)
+        strides = iv @ np.array([NyNz, cg.Nz, 1])
+        new: dict[int, tuple[list, int]] = {}   # q -> ([cut legs], tidx)
+        nfix = 0
+        for k in range(self.NN):
+            cut = np.flatnonzero(~adj[:, k])
+            if not cut.size:
+                continue
+            p = bn[cut]
+            ix = p // NyNz
+            iy = (p // cg.Nz) % cg.Ny
+            iz = p % cg.Nz
+            dx, dy, dz = iv[k]
+            inside = ((ix + dx >= 0) & (ix + dx < cg.Nx)
+                      & (iy + dy >= 0) & (iy + dy < cg.Ny)
+                      & (iz + dz >= 0) & (iz + dz < cg.Nz))
+            q = (p + strides[k])[inside]
+            cut = cut[inside]
+            pos = np.searchsorted(bn, q)
+            found = (pos < bn.size) & (bn[np.minimum(pos, bn.size - 1)] == q)
+            miss = adj[np.minimum(pos, bn.size - 1), k ^ 1] & found
+            nfix += int(miss.sum())
+            adj[pos[miss], k ^ 1] = False
+            for qq, ci in zip(q[~found], cut[~found]):
+                legs, _ = new.setdefault(int(qq),
+                                         ([], int(self.tidx_bn[ci])))
+                legs.append(k ^ 1)
+        if new:
+            qs = np.array(sorted(new), np.int64)
+            na = np.ones((qs.size, self.NN), bool)
+            nt = np.zeros(qs.size, np.int32)
+            for i, qq in enumerate(qs):
+                legs, t = new[int(qq)]
+                na[i, legs] = False
+                nt[i] = t
+            self.bn_ixyz = np.concatenate([bn, qs])
+            self.adj_bn = np.concatenate([adj, na])
+            self.tidx_bn = np.concatenate([self.tidx_bn, nt])
+            self.ndist_bn = np.concatenate(
+                [self.ndist_bn, np.full(qs.size, self.hf)])
+            order = np.argsort(self.bn_ixyz)
+            self.bn_ixyz = self.bn_ixyz[order]
+            self.adj_bn = self.adj_bn[order]
+            self.tidx_bn = self.tidx_bn[order]
+            self.ndist_bn = self.ndist_bn[order]
+        if nfix or new:
+            self.print(f"--VOX_SCENE: symmetrized {nfix} legs, "
+                       f"{len(new)} added boundary nodes")
 
     def _calc_adj_native(self, block_size: int):
         from pffdtd_tpu.voxelizer import native
