@@ -124,3 +124,36 @@ def test_block_size_invariance(shoebox):
     assert np.array_equal(vs1.bn_ixyz, vs2.bn_ixyz)
     assert np.array_equal(vs1.adj_bn, vs2.adj_bn)
     assert np.allclose(vs1.saf_bn, vs2.saf_bn)
+
+
+def test_symmetrize_adj_cut_wins():
+    """Asymmetric legs resolve cut-wins; missing partners are appended."""
+    import numpy as np
+    from pffdtd_tpu.demo import make_shoebox_room
+    from pffdtd_tpu.voxelizer.grid import CartGrid
+    from pffdtd_tpu.voxelizer.vox import VoxScene
+
+    rg = make_shoebox_room()
+    cg = CartGrid(h=0.25, offset=3.5, bmin=rg.bmin, bmax=rg.bmax)
+    vs = VoxScene(rg, cg)
+    vs.calc_adj(backend="numpy")
+    vs.check_adj_full()
+    Nb0 = vs.bn_ixyz.size
+    # break mutuality by hand: cut one leg one-way on an interior bn node
+    # whose +x partner is NOT a boundary node
+    NyNz = cg.Ny * cg.Nz
+    stride = NyNz  # +x
+    cand = None
+    for i, p in enumerate(vs.bn_ixyz):
+        q = p + stride
+        j = np.searchsorted(vs.bn_ixyz, q)
+        in_bn = j < Nb0 and vs.bn_ixyz[j] == q
+        ix = p // NyNz
+        if vs.adj_bn[i, 0] and not in_bn and 1 <= ix + 1 < cg.Nx - 1:
+            cand = i
+            break
+    assert cand is not None
+    vs.adj_bn[cand, 0] = False
+    vs._symmetrize_adj()
+    vs.check_adj_full()          # invariant restored
+    assert vs.bn_ixyz.size == Nb0 + 1   # the partner was appended
