@@ -70,9 +70,13 @@ def run_synthetic(fcc: bool, lossy: bool, Lx, Ly, Lz, h, nt, tag=None):
 
 
 def run_real_mv(nt, fmax=2000.0):
-    """The actual Musikverein model from the reference mount (FCC, lossy)."""
+    """The actual Musikverein model from the reference mount (FCC, lossy).
+
+    The (deterministic) voxelized + folded sim folder is cached on disk:
+    setup costs ~5 min of host time per invocation otherwise."""
     from pffdtd_tpu.engine.jax_engine import JaxEngine
     from pffdtd_tpu.geometry.room import RoomGeo
+    from pffdtd_tpu.io.h5 import SimFolder
     from pffdtd_tpu.prep import fold_fcc_sim, rotate_sim, sort_sim
     from pffdtd_tpu.scene_setup import pack_mats, sim_setup_from_room
 
@@ -81,16 +85,30 @@ def run_real_mv(nt, fmax=2000.0):
                "Plasterboard": "mv_plasterboard.h5", "Window": "mv_window.h5",
                "Wood": "mv_wood.h5"}
     t0 = time.perf_counter()
-    rg = RoomGeo(f"{REF}/models/Musikverein_ConcertHall/model_export.json")
-    keep = [r for r in rg.Rxyz
-            if np.linalg.norm(rg.tris_pre.cent - r, axis=-1).min() > 0.6]
-    rg.Rxyz = np.asarray(keep if keep else rg.Sxyz[:1] + 2.0)
-    mats = pack_mats(rg.mat_str, MV_MATS, f"{REF}/materials")
-    sim = sim_setup_from_room(rg, mats, duration=nt * 1e-4,
-                              insig_type="impulse", diff_source=True,
-                              fmax=fmax, PPW=5.6, fcc_flag=True,
-                              check_adj=False)
-    sim = sort_sim(fold_fcc_sim(rotate_sim(sim)))
+    cache = os.environ.get("BENCH_MV_CACHE", "/tmp/bench_mv_sim")
+    if cache and os.path.exists(os.path.join(cache, "vox_out.h5")):
+        sf = SimFolder(cache)
+        sim = type("S", (), dict(consts=sf.consts, vox=sf.vox,
+                                 comms=sf.comms, mats=sf.mats))
+    else:
+        rg = RoomGeo(f"{REF}/models/Musikverein_ConcertHall/model_export.json")
+        keep = [r for r in rg.Rxyz
+                if np.linalg.norm(rg.tris_pre.cent - r, axis=-1).min() > 0.6]
+        rg.Rxyz = np.asarray(keep if keep else rg.Sxyz[:1] + 2.0)
+        mats = pack_mats(rg.mat_str, MV_MATS, f"{REF}/materials")
+        sim = sim_setup_from_room(rg, mats,
+                                  duration=max(nt, 256) * 1e-4,
+                                  insig_type="impulse", diff_source=True,
+                                  fmax=fmax, PPW=5.6, fcc_flag=True,
+                                  check_adj=False)
+        sim = sort_sim(fold_fcc_sim(rotate_sim(sim)))
+        if cache:
+            from pffdtd_tpu.scene_setup import save_sim_data
+
+            try:
+                save_sim_data(sim, cache)
+            except Exception as e:  # noqa: BLE001 - cache is best-effort
+                print(f"  mv cache write failed: {e}", file=sys.stderr)
     g = sim.vox
     print(f"[mv_fcc_lossy] setup {time.perf_counter() - t0:.1f}s  grid "
           f"{g.Nx}x{g.Ny}x{g.Nz} = {g.Nx * g.Ny * g.Nz / 1e6:.1f} Mvox, "
