@@ -291,3 +291,17 @@ def test_pair_strays_zwindow(monkeypatch):
     st = data.strays
     assert ns > 0 and st.ZW == 128 and int(st.sz0.max()) >= 128
     _compare(sim, tile_x=4)
+
+
+def test_pair_strays_many_segments(monkeypatch):
+    """maxc >> SEG: the segmented state-DMA pipeline runs multiple
+    double-buffered rounds per tile (incl. tail over-fetch)."""
+    monkeypatch.setenv("PFFDTD_ZPLANE_MIN_COUNT", "1000000000")
+    monkeypatch.setenv("PFFDTD_STRAY_TS", "128")
+    monkeypatch.setenv("PFFDTD_STRAY_YW", "128")
+    sim = synthetic_box_sim(0.9, 3.4, 3.0, h=0.07, Nt=24, lossy=True,
+                            insig_type="hann10", diff_source=False)
+    data, ns = _stray_data(sim, 4)
+    st = data.strays
+    assert ns > 0 and st.maxc > 4 * st.SEG, (st.maxc, st.SEG)
+    _compare(sim, tile_x=4)
