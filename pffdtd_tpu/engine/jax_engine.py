@@ -453,11 +453,18 @@ def build_step(data: EngineData, energy: bool = False,
                                     out_pts=o_pts, planes=planes,
                                     adj_planes=apl)
         else:
+            from pffdtd_tpu.engine.pallas_pair import carry_ok
+
+            ucarry = getattr(data, "u2b_carry", None)
+            if ucarry is None:
+                ucarry = carry_ok(planes, in_pts)
+                data.u2b_carry = ucarry
             fusedp = build_fused_pair(g, sc, data.fcc, dtype=jdt,
                                       TX=data.tile_x or 8,
                                       interpret=interpret,
                                       in_pts=in_pts, planes=planes,
-                                      adj_planes=apl, strays=strays)
+                                      adj_planes=apl, strays=strays,
+                                      u2b_carry=ucarry)
         if apl is not None:
             # the full adjacency grid is never read in this mode: only the
             # small per-plane adjacency arrays go to the device
@@ -488,7 +495,12 @@ def build_step(data: EngineData, energy: bool = False,
             # iteration's final-field gather: reading u1 here would force
             # XLA to copy the whole grid to protect the aliased input
             u0, u1, vh1, gh1, out_prev = carry
-            states = {f: (vh1[f], gh1[f]) for f in fam_list}
+            # u2b-carry families thread their plane sheets as a third
+            # state leaf (stored in the vh dict under "<fam>c")
+            cfams = ({f for f in ("z", "y") if f in fam_list}
+                     if getattr(data, "u2b_carry", False) else set())
+            states = {f: ((vh1[f], gh1[f], vh1[f + "c"]) if f in cfams
+                          else (vh1[f], gh1[f])) for f in fam_list}
             pconsts = {f: (C[f"{f}ssaf"], C[f"{f}coefs"]) for f in fam_list}
             if has_strays:
                 states["s"] = (vh1["s"], gh1["s"])
@@ -509,6 +521,9 @@ def build_step(data: EngineData, energy: bool = False,
             out_c = read_taps(uN1)   # u^{n+TB}, next iteration's out_prev
             vh0 = {f: s[0] for f, s in ns.items()}
             gh0 = {f: s[1] for f, s in ns.items()}
+            for f, s in ns.items():
+                if len(s) == 3:      # u2b-carry sheet rides in the vh dict
+                    vh0[f + "c"] = s[2]
             return ((uN, uN1, vh0, gh0, out_c), jnp.stack(rows))
 
         return step_pair, consts
@@ -800,6 +815,7 @@ class JaxEngine:
                                 if txc:
                                     want = (tbc, txc)
                                     break
+                        uc_ = False
                         if want is not None:
                             backend = "pallas_tb"
                             tbc, tp2 = want
@@ -807,6 +823,25 @@ class JaxEngine:
                             tp2 = pick_tile_pair(
                                 Nyp, Nzp, adj_bytes=0 if nofull else adjb,
                                 state_bytes=_sb(2))
+                            # u2b carry only when its rings fit WITHOUT
+                            # shrinking TX (TX is the dominant lever) and
+                            # without risking the TX=2 floor's fit
+                            from pffdtd_tpu.engine.pallas_pair import (
+                                carry_bytes_per_row, carry_ok)
+
+                            g_ = data.grid
+                            ii_ = np.asarray(data.in_ixyz)
+                            pts_ = np.stack(
+                                [ii_ // (g_.Nyp * g_.Nzp),
+                                 (ii_ // g_.Nzp) % g_.Nyp,
+                                 ii_ % g_.Nzp], 1)
+                            uc_ = carry_ok(data.planes, pts_) and tp2 > 2
+                            if uc_:
+                                uc_ = tp2 == pick_tile_pair(
+                                    Nyp, Nzp,
+                                    adj_bytes=0 if nofull else adjb,
+                                    state_bytes=_sb(2)
+                                    + carry_bytes_per_row(data.planes))
                         else:
                             tp2 = tp
                         if tp2 != tp:
@@ -820,6 +855,8 @@ class JaxEngine:
                             tp = tp2
                         if want is not None:
                             data.tb = want[0]
+                        if backend == "pallas_pair":
+                            data.u2b_carry = uc_
                         if use_strays:
                             data.attach_strays()   # after the final TX
                         tile_x = tp
@@ -938,6 +975,15 @@ class JaxEngine:
                         s = pp.state_shape(g.Nxp)
                         vhp[fam] = jnp.zeros(s, d.dtype)
                         ghp[fam] = jnp.zeros(s, d.dtype)
+                if getattr(d, "u2b_carry", False):
+                    # carried u^{step-1} plane sheets (zero fields => 0)
+                    from pffdtd_tpu.engine.pallas_pair import carry_pad
+
+                    for fam, pp in (("z", planes.z), ("y", planes.y)):
+                        if pp is not None:
+                            vhp[fam + "c"] = jnp.zeros(
+                                (g.Nxp, carry_pad(pp.P), pp.ssaf.shape[2]),
+                                d.dtype)
             strays = getattr(d, "strays", None)
             if strays is not None and int(strays.soff[-1]) > 0:
                 s = strays.state_shape()

@@ -159,11 +159,51 @@ def _roll2(x, dy, dz):
     return x
 
 
+def carry_pad(P: int) -> int:
+    """Sublane extent of the u2b-carry arrays for a P-plane family: the
+    two per-stage blocks [0:P] and [P:2P] stage-major, 8-padded so DMA
+    row slices satisfy the Mosaic sublane-tiling rule."""
+    return max(8, -(-2 * P // 8) * 8)
+
+
+def carry_bytes_per_row(planes, itemsize: int = 4) -> int:
+    """Extra VMEM scratch bytes per TX row for the u2b-carry rings
+    (3 input slots + 2 output slots per z/y family)."""
+    b = 0
+    for pp in (planes.z, planes.y):
+        if pp is not None:
+            b += 5 * carry_pad(pp.P) * pp.ssaf.shape[2] * itemsize
+    return b
+
+
+def carry_ok(planes, in_pts) -> bool:
+    """True when the pair kernel may carry the plane-ODE u^{step-1}
+    values instead of re-extracting them from the previous field.
+
+    The carried value is the post-ODE plane sheet — identical to the
+    field at every node the family owns (ssaf > 0) because later
+    in-sweep writes (the other families' ODE sheets) are exact
+    identities there.  The one exception is source injection, which
+    lands AFTER the plane stages: a source sitting on a plane
+    coordinate would be missed, so such scenes fall back to the
+    extraction path."""
+    if planes is None or (planes.z is None and planes.y is None):
+        return False
+    if os.environ.get("PFFDTD_U2B_CARRY", "1") == "0":
+        return False
+    zs = ({int(v) for v in planes.z.zp} if planes.z is not None else set())
+    ys = ({int(v) for v in planes.y.yp} if planes.y is not None else set())
+    for _, gy, gz in np.asarray(in_pts, np.int64).reshape(-1, 3):
+        if int(gz) in zs or int(gy) in ys:
+            return False
+    return True
+
+
 def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                      interpret: bool = False, in_pts=None, planes=None,
                      adj_planes: AdjPlanes | None = None,
                      shard: tuple[int, int] | None = None,
-                     strays=None):
+                     strays=None, u2b_carry: bool = False):
     """Returns fn(u1, u0, adj, sig2, states) -> (u3, u2, new_states).
 
     grid: GridSpec; sc: SchemeCoeffs.  in_pts: (Nin, 3) STATIC source-node
@@ -255,6 +295,15 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
     XDYN = SHARDED and PX > 0
     if SHARDED:
         assert adj_planes is None, "adj-planes mode is single-device only"
+    # u2b carry (designed round 3): each plane stage's u^{step-1} sheet is
+    # the SAME stage's post-ODE output one sweep earlier, so it round-trips
+    # HBM in plane layout ((S2P, W): stage-major blocks [0:P] / [P:2P])
+    # instead of being re-extracted from the prev-field block — cutting the
+    # transposing lane/sublane pulls from 6 to 4 per plane per sweep.
+    # Bit-exact for u wherever the family's ssaf > 0 (see carry_ok).
+    CARRY = bool(u2b_carry) and not SHARDED and (PZ > 0 or PY > 0)
+    S2PZ = carry_pad(PZ) if (PZ and CARRY) else 0
+    S2PY = carry_pad(PY) if (PY and CARRY) else 0
 
     ap = adj_planes
     NOFULL = ap is not None
@@ -311,10 +360,12 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
         zgh_h = next(it) if PZ else None
         zsf_h = next(it) if PZ else None   # (Nxp, PZ, Nyw)
         zco = next(it) if PZ else None     # VMEM (PZ, 5*MZ, Nyw)
+        zub_h = next(it) if (PZ and CARRY) else None  # (Nxp, S2PZ, Nyw)
         yvh_h = next(it) if PY else None   # (Nxp, PY, MZ, Nzp)
         ygh_h = next(it) if PY else None
         ysf_h = next(it) if PY else None   # (Nxp, PY, Nzp)
         yco = next(it) if PY else None     # VMEM (PY, 5*MZ, Nzp)
+        yub_h = next(it) if (PY and CARRY) else None  # (Nxp, S2PY, Nzp)
         xvh_h = next(it) if PX else None   # (PX, Nyp, MZ, Nzp)
         xgh_h = next(it) if PX else None
         xsf_h = next(it) if PX else None   # (PX, Nyp, 8, Nzp)
@@ -331,16 +382,18 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
         u2_h = next(it)
         zvo_h = next(it) if PZ else None
         zgo_h = next(it) if PZ else None
+        zuo_h = next(it) if (PZ and CARRY) else None
         yvo_h = next(it) if PY else None
         ygo_h = next(it) if PY else None
+        yuo_h = next(it) if (PY and CARRY) else None
         xvo_h = next(it) if PX else None
         xgo_h = next(it) if PX else None
         svo_h = next(it) if NST else None  # aliased stray vh states
         sgo_h = next(it) if NST else None
 
         def body(slab, u0b, adjb, u2r, slab2, u3b,
-                 zvi, zgi, zsf, zvo, zgo,
-                 yvi, ygi, ysf, yvo, ygo,
+                 zvi, zgi, zsf, zvo, zgo, zui, zuo,
+                 yvi, ygi, ysf, yvo, ygo, yui, yuo,
                  xv, xg, xsb, sndb, ssvb, ssgb,
                  zadr, yadr, xadb,
                  sem_in, sem_o2, sem_o3, sem_pre, sem_zin, sem_zout,
@@ -349,7 +402,7 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
 
             def z_in(t):
                 rs = t * TX + 1
-                return [
+                cps = [
                     pltpu.make_async_copy(zvh_h.at[pl.ds(rs, TX)],
                                           zvi.at[t % 2], sem_zin.at[t % 2, 0]),
                     pltpu.make_async_copy(zgh_h.at[pl.ds(rs, TX)],
@@ -357,10 +410,15 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                     pltpu.make_async_copy(zsf_h.at[pl.ds(rs, TX)],
                                           zsf.at[t % 3], sem_zin.at[t % 2, 2]),
                 ]
+                if CARRY:
+                    cps.append(pltpu.make_async_copy(
+                        zub_h.at[pl.ds(rs, TX)], zui.at[t % 3],
+                        sem_zin.at[t % 2, 3]))
+                return cps
 
             def z_out(tt):
                 rs = tt * TX + 1
-                return [
+                cps = [
                     pltpu.make_async_copy(zvo.at[tt % 2],
                                           zvo_h.at[pl.ds(rs, TX)],
                                           sem_zout.at[tt % 2, 0]),
@@ -368,10 +426,15 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                                           zgo_h.at[pl.ds(rs, TX)],
                                           sem_zout.at[tt % 2, 1]),
                 ]
+                if CARRY:
+                    cps.append(pltpu.make_async_copy(
+                        zuo.at[tt % 2], zuo_h.at[pl.ds(rs, TX)],
+                        sem_zout.at[tt % 2, 2]))
+                return cps
 
             def y_in(t):
                 rs = t * TX + 1
-                return [
+                cps = [
                     pltpu.make_async_copy(yvh_h.at[pl.ds(rs, TX)],
                                           yvi.at[t % 2], sem_yin.at[t % 2, 0]),
                     pltpu.make_async_copy(ygh_h.at[pl.ds(rs, TX)],
@@ -379,10 +442,15 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                     pltpu.make_async_copy(ysf_h.at[pl.ds(rs, TX)],
                                           ysf.at[t % 3], sem_yin.at[t % 2, 2]),
                 ]
+                if CARRY:
+                    cps.append(pltpu.make_async_copy(
+                        yub_h.at[pl.ds(rs, TX)], yui.at[t % 3],
+                        sem_yin.at[t % 2, 3]))
+                return cps
 
             def y_out(tt):
                 rs = tt * TX + 1
-                return [
+                cps = [
                     pltpu.make_async_copy(yvo.at[tt % 2],
                                           yvo_h.at[pl.ds(rs, TX)],
                                           sem_yout.at[tt % 2, 0]),
@@ -390,6 +458,11 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                                           ygo_h.at[pl.ds(rs, TX)],
                                           sem_yout.at[tt % 2, 1]),
                 ]
+                if CARRY:
+                    cps.append(pltpu.make_async_copy(
+                        yuo.at[tt % 2], yuo_h.at[pl.ds(rs, TX)],
+                        sem_yout.at[tt % 2, 2]))
+                return cps
 
             def grid_in(t):
                 rs = t * TX
@@ -1010,29 +1083,41 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                         cp.wait()
 
             def zplane_stage(outr, slot, prev_ref, pslot, pbase,
-                             vin, gin, vout, gout, sfslot):
+                             vin, gin, vout, gout, sfslot,
+                             uin=None, uout=None, sidx=0):
                 """z-normal plane ODE on an output block.
 
                 zp_lanes are compile-time constants, so extraction and
                 write-back are STATIC single-lane slices - no masks, no
                 matmuls (an MXU one-hot extraction costs M*Nzp*128 MACs per
                 plane set, ~3 ms/step at benchmark scale; a static lane
-                slice is a handful of VREG ops per (TX, Nyp) sheet)."""
+                slice is a handful of VREG ops per (TX, Nyp) sheet).
+
+                CARRY: u2b comes from the carry ring (stage-major block
+                sidx*PZ + p) already in plane layout — no transposing pull
+                from prev_ref — and the post-ODE sheet is stashed back for
+                the same stage one sweep later."""
                 if "ode" in ABLATE or "odez" in ABLATE:
                     return
                 sa_all = zsf[sfslot]
                 for p in range(PZ):
                     zl = zp_lanes[p]
                     ub = outr[slot, :, :, zl]               # (TX, Nyp)
-                    u2b = prev_ref[pslot, pbase:pbase + TX, :, zl]
+                    if CARRY:
+                        u2b = uin[:, sidx * PZ + p, :]      # (TX, Nyw)
+                    else:
+                        u2b = prev_ref[pslot, pbase:pbase + TX, :, zl]
                     if Nyw > Nyp:
                         zpad = jnp.zeros((TX, Nyw - Nyp), dtype)
                         ub = jnp.concatenate([ub, zpad], axis=1)
-                        u2b = jnp.concatenate([u2b, zpad], axis=1)
+                        if not CARRY:
+                            u2b = jnp.concatenate([u2b, zpad], axis=1)
                     ub_new, vh0, gh_new = ode(ub, u2b, vin[:, p], gin[:, p],
                                               sa_all[:, p], zco[p])
                     vout[:, p] = vh0
                     gout[:, p] = gh_new
+                    if CARRY:
+                        uout[:, sidx * PZ + p, :] = ub_new
                     outr[slot, :, :, zl] = (ub_new[:, :Nyp]
                                             if Nyw > Nyp else ub_new)
 
@@ -1123,20 +1208,27 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                         cp.wait()
 
             def yplane_stage(outr, slot, prev_ref, pslot, pbase,
-                             vin, gin, vout, gout, sfslot):
+                             vin, gin, vout, gout, sfslot,
+                             uin=None, uout=None, sidx=0):
                 """y-normal plane ODE: STATIC sublane extraction (yp_subl
-                are compile-time constants), no masks at all."""
+                are compile-time constants), no masks at all.  CARRY as in
+                zplane_stage (sheet layout (TX, Nzp), no relayout)."""
                 if "ode" in ABLATE or "odey" in ABLATE:
                     return
                 sa_all = ysf[sfslot]
                 for p in range(PY):
                     yl = yp_subl[p]
                     ub = outr[slot, :, yl, :]               # (TX, Nzp)
-                    u2b = prev_ref[pslot, pbase:pbase + TX, yl, :]
+                    if CARRY:
+                        u2b = uin[:, sidx * PY + p, :]
+                    else:
+                        u2b = prev_ref[pslot, pbase:pbase + TX, yl, :]
                     ub_new, vh0, gh_new = ode(ub, u2b, vin[:, p], gin[:, p],
                                               sa_all[:, p], yco[p])
                     vout[:, p] = vh0
                     gout[:, p] = gh_new
+                    if CARRY:
+                        uout[:, sidx * PY + p, :] = ub_new
                     outr[slot, :, yl, :] = ub_new
 
             # ------------------------------------------------- visit loop
@@ -1209,11 +1301,17 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                     if PZ:
                         zplane_stage(u2r, slot, u0b, pslot, 0,
                                      zvi.at[t % 2], zgi.at[t % 2],
-                                     zvo.at[t % 2], zgo.at[t % 2], t % 3)
+                                     zvo.at[t % 2], zgo.at[t % 2], t % 3,
+                                     uin=zui.at[t % 3] if CARRY else None,
+                                     uout=zuo.at[t % 2] if CARRY else None,
+                                     sidx=0)
                     if PY:
                         yplane_stage(u2r, slot, u0b, pslot, 0,
                                      yvi.at[t % 2], ygi.at[t % 2],
-                                     yvo.at[t % 2], ygo.at[t % 2], t % 3)
+                                     yvo.at[t % 2], ygo.at[t % 2], t % 3,
+                                     uin=yui.at[t % 3] if CARRY else None,
+                                     uout=yuo.at[t % 2] if CARRY else None,
+                                     sidx=0)
                     if PX:
                         for p in range(PX):
                             if XDYN:
@@ -1302,13 +1400,19 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                         # stage 1; advance it to state^{n+2} IN PLACE
                         zplane_stage(u3b, oslot, slab, aslot, 1,
                                      zvo.at[tt % 2], zgo.at[tt % 2],
-                                     zvo.at[tt % 2], zgo.at[tt % 2], tt % 3)
+                                     zvo.at[tt % 2], zgo.at[tt % 2], tt % 3,
+                                     uin=zui.at[tt % 3] if CARRY else None,
+                                     uout=zuo.at[tt % 2] if CARRY else None,
+                                     sidx=1)
                         for c in z_out(tt):
                             c.start()
                     if PY:
                         yplane_stage(u3b, oslot, slab, aslot, 1,
                                      yvo.at[tt % 2], ygo.at[tt % 2],
-                                     yvo.at[tt % 2], ygo.at[tt % 2], tt % 3)
+                                     yvo.at[tt % 2], ygo.at[tt % 2], tt % 3,
+                                     uin=yui.at[tt % 3] if CARRY else None,
+                                     uout=yuo.at[tt % 2] if CARRY else None,
+                                     sidx=1)
                         for c in y_out(tt):
                             c.start()
                     if PX:
@@ -1375,26 +1479,38 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                 zvi=pltpu.VMEM(zs, dtype), zgi=pltpu.VMEM(zs, dtype),
                 zvo=pltpu.VMEM(zs, dtype), zgo=pltpu.VMEM(zs, dtype),
                 zsf=pltpu.VMEM((3, TX, PZ8, Nyw), dtype),
-                sem_zin=pltpu.SemaphoreType.DMA((2, 3)),
-                sem_zout=pltpu.SemaphoreType.DMA((2, 2)))
+                sem_zin=pltpu.SemaphoreType.DMA((2, 4)),
+                sem_zout=pltpu.SemaphoreType.DMA((2, 3)))
         else:
             for k in ("zvi", "zgi", "zvo", "zgo", "zsf"):
                 scratch[k] = pltpu.VMEM((1, 1), dtype)
             scratch["sem_zin"] = pltpu.SemaphoreType.DMA((1,))
             scratch["sem_zout"] = pltpu.SemaphoreType.DMA((1,))
+        if PZ and CARRY:
+            scratch["zui"] = pltpu.VMEM((3, TX, S2PZ, Nyw), dtype)
+            scratch["zuo"] = pltpu.VMEM((2, TX, S2PZ, Nyw), dtype)
+        else:
+            scratch["zui"] = pltpu.VMEM((1, 1), dtype)
+            scratch["zuo"] = pltpu.VMEM((1, 1), dtype)
         if PY:
             ys_ = (2, TX, PY, MZ, Nzp)
             scratch.update(
                 yvi=pltpu.VMEM(ys_, dtype), ygi=pltpu.VMEM(ys_, dtype),
                 yvo=pltpu.VMEM(ys_, dtype), ygo=pltpu.VMEM(ys_, dtype),
                 ysf=pltpu.VMEM((3, TX, PY8, Nzp), dtype),
-                sem_yin=pltpu.SemaphoreType.DMA((2, 3)),
-                sem_yout=pltpu.SemaphoreType.DMA((2, 2)))
+                sem_yin=pltpu.SemaphoreType.DMA((2, 4)),
+                sem_yout=pltpu.SemaphoreType.DMA((2, 3)))
         else:
             for k in ("yvi", "ygi", "yvo", "ygo", "ysf"):
                 scratch[k] = pltpu.VMEM((1, 1), dtype)
             scratch["sem_yin"] = pltpu.SemaphoreType.DMA((1,))
             scratch["sem_yout"] = pltpu.SemaphoreType.DMA((1,))
+        if PY and CARRY:
+            scratch["yui"] = pltpu.VMEM((3, TX, S2PY, Nzp), dtype)
+            scratch["yuo"] = pltpu.VMEM((2, TX, S2PY, Nzp), dtype)
+        else:
+            scratch["yui"] = pltpu.VMEM((1, 1), dtype)
+            scratch["yuo"] = pltpu.VMEM((1, 1), dtype)
         if PX:
             scratch.update(
                 xv=pltpu.VMEM((2, CY, MZ, Nzp), dtype),
@@ -1461,19 +1577,28 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
         for fam, on in (("z", PZ), ("y", PY), ("x", PX)):
             if not on:
                 continue
-            vh, gh = states[fam]
+            fc = CARRY and fam in ("z", "y")
+            if fc:
+                vh, gh, uc = states[fam]
+            else:
+                vh, gh = states[fam]
             sf, co = pconsts[fam]
-            ins += [vh, gh, sf, co]
+            ins += [vh, gh, sf, co] + ([uc] if fc else [])
             in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * 3 \
-                + [pl.BlockSpec(memory_space=pltpu.VMEM)]
+                + [pl.BlockSpec(memory_space=pltpu.VMEM)] \
+                + ([pl.BlockSpec(memory_space=pl.ANY)] if fc else [])
             outs += [jax.ShapeDtypeStruct(vh.shape, dtype),
-                     jax.ShapeDtypeStruct(gh.shape, dtype)]
-            out_specs += [pl.BlockSpec(memory_space=pl.ANY)] * 2
+                     jax.ShapeDtypeStruct(gh.shape, dtype)] \
+                + ([jax.ShapeDtypeStruct(uc.shape, dtype)] if fc else [])
+            out_specs += [pl.BlockSpec(memory_space=pl.ANY)] * (3 if fc
+                                                                else 2)
             al[idx] = oidx
             al[idx + 1] = oidx + 1
-            fams.append(fam)
-            idx += 4
-            oidx += 2
+            if fc:
+                al[idx + 4] = oidx + 2
+            fams.append((fam, fc))
+            idx += 5 if fc else 4
+            oidx += 3 if fc else 2
         if NST:
             svh, sgh = states["s"]
             nd_a, tab_a, soff_a, sr0_a, sy0_a, sz0_a = pconsts["s"]
@@ -1486,7 +1611,7 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
             out_specs += [pl.BlockSpec(memory_space=pl.ANY)] * 2
             al[idx] = oidx
             al[idx + 1] = oidx + 1
-            fams.append("s")
+            fams.append(("s", False))
             idx += 8
             oidx += 2
         res = pl.pallas_call(
@@ -1500,8 +1625,12 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                 vmem_limit_bytes=127 * 1024 * 1024),
             interpret=interpret,
         )(*ins)
-        new_states = {fam: (res[2 + 2 * i], res[3 + 2 * i])
-                      for i, fam in enumerate(fams)}
+        new_states = {}
+        i = 2
+        for fam, fc in fams:
+            n = 3 if fc else 2
+            new_states[fam] = tuple(res[i:i + n])
+            i += n
         return res[0], res[1], new_states
 
     return fused

@@ -36,6 +36,13 @@ def _run_pair_interpret(sim, nt_run, tile_x=8, adj_planes=False):
                 s = pp.state_shape(g.Nxp)
                 vh[fam] = jnp.zeros(s, np.float32)
                 gh[fam] = jnp.zeros(s, np.float32)
+    if planes is not None and getattr(data, "u2b_carry", False):
+        from pffdtd_tpu.engine.pallas_pair import carry_pad
+
+        for fam, pp in (("z", planes.z), ("y", planes.y)):
+            if pp is not None:
+                vh[fam + "c"] = jnp.zeros(
+                    (g.Nxp, carry_pad(pp.P), pp.ssaf.shape[2]), np.float32)
     strays = getattr(data, "strays", None)
     if strays is not None and int(strays.soff[-1]) > 0:
         s = strays.state_shape()
@@ -305,3 +312,51 @@ def test_pair_strays_many_segments(monkeypatch):
     st = data.strays
     assert ns > 0 and st.maxc > 4 * st.SEG, (st.maxc, st.SEG)
     _compare(sim, tile_x=4)
+
+
+def test_pair_u2b_carry_bit_exact(monkeypatch):
+    """The u2b-carry path (plane-ODE u^{step-1} sheets carried in plane
+    layout instead of re-extracted from the prev field) is bit-exact
+    against the extraction path, with both z- and y-plane families
+    engaged."""
+    monkeypatch.setenv("PFFDTD_ZPLANE_MIN_COUNT", "1")
+    monkeypatch.setenv("PFFDTD_ZPLANE_MIN_DENSITY", "0.3")
+    sim = synthetic_box_sim(2.5, 2.0, 1.6, h=0.1, Nt=30, lossy=True,
+                            insig_type="hann10", diff_source=False)
+    data = EngineData(sim.consts, sim.vox, sim.comms, sim.mats,
+                      dtype=np.float32, pad_z=128, tile_x=8)
+    data.attach_planes()
+    from pffdtd_tpu.engine.pallas_pair import carry_ok
+    ii = np.asarray(data.in_ixyz)
+    g = data.grid
+    pts = np.stack([ii // (g.Nyp * g.Nzp), (ii // g.Nzp) % g.Nyp,
+                    ii % g.Nzp], 1)
+    assert carry_ok(data.planes, pts)
+    assert data.planes.z is not None and data.planes.y is not None
+    u_carry = _run_pair_interpret(sim, 30)
+    monkeypatch.setenv("PFFDTD_U2B_CARRY", "0")
+    u_plain = _run_pair_interpret(sim, 30)
+    assert np.abs(u_carry - u_plain).max() == 0.0
+
+
+def test_pair_u2b_carry_source_on_plane_guard():
+    """A source sitting on an owned plane coordinate disables the carry
+    (injection lands after the plane stages and would be missed)."""
+    from pffdtd_tpu.engine.pallas_pair import carry_ok
+
+    sim = synthetic_box_sim(2.5, 2.0, 1.6, h=0.1, Nt=16, lossy=True,
+                            insig_type="hann10", diff_source=False)
+    data = EngineData(sim.consts, sim.vox, sim.comms, sim.mats,
+                      dtype=np.float32, pad_z=128, tile_x=8)
+    data.attach_planes()
+    if data.planes.z is None:
+        return
+    zl = int(data.planes.z.zp[0])
+    pts = np.array([[5, 5, zl]])
+    assert not carry_ok(data.planes, pts)
+    pts = np.array([[5, 5, zl + 1 if zl + 1 not in
+                     set(int(v) for v in data.planes.z.zp) else zl - 1]])
+    ok = carry_ok(data.planes, pts)
+    ypl = data.planes.y
+    if ypl is None or 5 not in {int(v) for v in ypl.yp}:
+        assert ok
