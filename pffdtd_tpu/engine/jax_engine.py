@@ -447,11 +447,17 @@ def build_step(data: EngineData, energy: bool = False,
         TB = getattr(data, "tb", 2)
         if backend == "pallas_tb":
             assert strays is None, "stray fusion is pair-kernel only"
+            from pffdtd_tpu.engine.pallas_pair import carry_ok
+
+            ucarry = getattr(data, "u2b_carry", None)
+            if ucarry is None:
+                ucarry = carry_ok(planes, in_pts)
+                data.u2b_carry = ucarry
             fusedp = build_fused_tb(g, sc, data.fcc, dtype=jdt,
                                     TX=data.tile_x or 4, TB=TB,
                                     interpret=interpret, in_pts=in_pts,
                                     out_pts=o_pts, planes=planes,
-                                    adj_planes=apl)
+                                    adj_planes=apl, u2b_carry=ucarry)
         else:
             from pffdtd_tpu.engine.pallas_pair import carry_ok
 
@@ -789,6 +795,21 @@ class JaxEngine:
                             return (data.planes.state_bytes_per_row(tb=tb)
                                     if data.planes is not None else 0)
 
+                        # u2b-carry eligibility (pallas_pair.carry_ok);
+                        # enabled per backend below only when the carry
+                        # rings fit VMEM WITHOUT shrinking TX (TX is the
+                        # dominant lever)
+                        from pffdtd_tpu.engine.pallas_pair import (
+                            carry_bytes_per_row, carry_ok)
+
+                        g_ = data.grid
+                        ii_ = np.asarray(data.in_ixyz)
+                        pts_ = np.stack(
+                            [ii_ // (g_.Nyp * g_.Nzp),
+                             (ii_ // g_.Nzp) % g_.Nyp,
+                             ii_ % g_.Nzp], 1)
+                        uc_able = carry_ok(data.planes, pts_)
+
                         # deeper temporal blocking (TB > 2 steps per HBM
                         # sweep) when the VMEM rings fit: the pair kernel
                         # is DMA-floor-bound, so fewer bytes/step wins
@@ -812,30 +833,29 @@ class JaxEngine:
                                     Nyp, Nzp, tbc,
                                     adj_bytes=0 if nofull else adjb,
                                     state_bytes=_sb(tbc), min_tx=4)
-                                if txc:
-                                    want = (tbc, txc)
-                                    break
+                                if not txc:
+                                    continue
+                                uc_tb = False
+                                if uc_able and data.planes is not None:
+                                    uc_tb = txc == pick_tile_tb(
+                                        Nyp, Nzp, tbc,
+                                        adj_bytes=0 if nofull else adjb,
+                                        state_bytes=_sb(tbc)
+                                        + carry_bytes_per_row(
+                                            data.planes, tb=tbc),
+                                        min_tx=4)
+                                want = (tbc, txc, uc_tb)
+                                break
                         uc_ = False
                         if want is not None:
                             backend = "pallas_tb"
-                            tbc, tp2 = want
+                            tbc, tp2, uc_ = want
                         elif tile_x is None:
                             tp2 = pick_tile_pair(
                                 Nyp, Nzp, adj_bytes=0 if nofull else adjb,
                                 state_bytes=_sb(2))
-                            # u2b carry only when its rings fit WITHOUT
-                            # shrinking TX (TX is the dominant lever) and
-                            # without risking the TX=2 floor's fit
-                            from pffdtd_tpu.engine.pallas_pair import (
-                                carry_bytes_per_row, carry_ok)
-
-                            g_ = data.grid
-                            ii_ = np.asarray(data.in_ixyz)
-                            pts_ = np.stack(
-                                [ii_ // (g_.Nyp * g_.Nzp),
-                                 (ii_ // g_.Nzp) % g_.Nyp,
-                                 ii_ % g_.Nzp], 1)
-                            uc_ = carry_ok(data.planes, pts_) and tp2 > 2
+                            uc_ = uc_able and tp2 > 2 \
+                                and data.planes is not None
                             if uc_:
                                 uc_ = tp2 == pick_tile_pair(
                                     Nyp, Nzp,
@@ -855,7 +875,7 @@ class JaxEngine:
                             tp = tp2
                         if want is not None:
                             data.tb = want[0]
-                        if backend == "pallas_pair":
+                        if backend in ("pallas_pair", "pallas_tb"):
                             data.u2b_carry = uc_
                         if use_strays:
                             data.attach_strays()   # after the final TX

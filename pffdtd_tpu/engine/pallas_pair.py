@@ -166,13 +166,18 @@ def carry_pad(P: int) -> int:
     return max(8, -(-2 * P // 8) * 8)
 
 
-def carry_bytes_per_row(planes, itemsize: int = 4) -> int:
+def carry_bytes_per_row(planes, itemsize: int = 4, tb: int = 2) -> int:
     """Extra VMEM scratch bytes per TX row for the u2b-carry rings
-    (3 input slots + 2 output slots per z/y family)."""
+    (3 input slots + 2 output slots per z/y family, plus tb > 2's
+    3-slot within-sweep intermediate ring)."""
     b = 0
     for pp in (planes.z, planes.y):
         if pp is not None:
-            b += 5 * carry_pad(pp.P) * pp.ssaf.shape[2] * itemsize
+            W = pp.ssaf.shape[2]
+            b += 5 * carry_pad(pp.P) * W * itemsize
+            if tb > 2:
+                niz = pp.P * (tb - 2)
+                b += 3 * (-(-niz // 8) * 8) * W * itemsize
     return b
 
 
@@ -360,16 +365,19 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
         zgh_h = next(it) if PZ else None
         zsf_h = next(it) if PZ else None   # (Nxp, PZ, Nyw)
         zco = next(it) if PZ else None     # VMEM (PZ, 5*MZ, Nyw)
+        zbet = next(it) if PZ else None    # SMEM (PZ,) per-plane beta
         zub_h = next(it) if (PZ and CARRY) else None  # (Nxp, S2PZ, Nyw)
         yvh_h = next(it) if PY else None   # (Nxp, PY, MZ, Nzp)
         ygh_h = next(it) if PY else None
         ysf_h = next(it) if PY else None   # (Nxp, PY, Nzp)
         yco = next(it) if PY else None     # VMEM (PY, 5*MZ, Nzp)
+        ybet = next(it) if PY else None    # SMEM (PY,)
         yub_h = next(it) if (PY and CARRY) else None  # (Nxp, S2PY, Nzp)
         xvh_h = next(it) if PX else None   # (PX, Nyp, MZ, Nzp)
         xgh_h = next(it) if PX else None
         xsf_h = next(it) if PX else None   # (PX, Nyp, 8, Nzp)
         xco = next(it) if PX else None     # VMEM (PX, 5*MZ, Nzp)
+        xbet = next(it) if PX else None    # SMEM (PX,)
         svh_h = next(it) if NST else None  # (NCH, MZS, TS) stray states
         sgh_h = next(it) if NST else None
         snd_h = next(it) if NST else None  # (NCH, 8, TS) f32 node data
@@ -813,20 +821,23 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                         outr[slot, pl.ds(r, 1)] = (
                             outr[slot, pl.ds(r, 1)] + sig[stage, i] * m)
 
-            def ode(ub, u2b, vh, gh, sa, co):
+            def ode(ub, u2b, vh, gh, sa, co, bs):
                 """One impedance-ODE step on dense plane values.
 
                 ub/u2b: (TX, W) node values (post-air) and u^{n-1}; vh/gh:
                 (TX, MZ, W); sa: (TX, W) ssaf (0 = exact identity); co:
                 (5*MZ, 128) rows b|bd|bDh|bFh|beta, lane-broadcast from
-                lane 0 (cpu_engine.h:362-405)."""
+                lane 0 (cpu_engine.h:362-405); bs: the plane's beta as an
+                SMEM SCALAR — under the carry path's layouts, pulling beta
+                from the VMEM tile makes Mosaic emit a (1,1) -> (TX, W)
+                vector.broadcast in both sublanes and lanes (unsupported);
+                a scalar multiply needs no broadcast at all."""
                 co = co[:, 0:1]
                 b = co[0 * MZ:1 * MZ]
                 bd = co[1 * MZ:2 * MZ]
                 bDh = co[2 * MZ:3 * MZ]
                 bFh = co[3 * MZ:4 * MZ]
-                beta = co[4 * MZ]
-                lo2Kbg = lo2 * sa * beta
+                lo2Kbg = lo2 * sa * bs
                 ub_new = ub - lv * sa * jnp.sum(
                     2.0 * bDh * vh - bFh * gh, axis=-2)
                 ub_new = (ub_new + lo2Kbg * u2b) / (1.0 + lo2Kbg)
@@ -1113,7 +1124,7 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                         if not CARRY:
                             u2b = jnp.concatenate([u2b, zpad], axis=1)
                     ub_new, vh0, gh_new = ode(ub, u2b, vin[:, p], gin[:, p],
-                                              sa_all[:, p], zco[p])
+                                              sa_all[:, p], zco[p], zbet[p])
                     vout[:, p] = vh0
                     gout[:, p] = gh_new
                     if CARRY:
@@ -1191,7 +1202,7 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                         u2b = prev_ref[prev_row, yc:yc + cy, :]
                     ub_new, vh0, gh_new = ode(
                         ub, u2b, xv[sl, 0:cy], xg[sl, 0:cy],
-                        xsb[sl, 0:cy, 0, :], xco[p])
+                        xsb[sl, 0:cy, 0, :], xco[p], xbet[p])
                     if XDYN:
                         outr[oslot, pl.ds(r, 1), yc:yc + cy, :] = \
                             ub_new[None]
@@ -1224,7 +1235,7 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                     else:
                         u2b = prev_ref[pslot, pbase:pbase + TX, yl, :]
                     ub_new, vh0, gh_new = ode(ub, u2b, vin[:, p], gin[:, p],
-                                              sa_all[:, p], yco[p])
+                                              sa_all[:, p], yco[p], ybet[p])
                     vout[:, p] = vh0
                     gout[:, p] = gh_new
                     if CARRY:
@@ -1583,9 +1594,11 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
             else:
                 vh, gh = states[fam]
             sf, co = pconsts[fam]
-            ins += [vh, gh, sf, co] + ([uc] if fc else [])
+            bet = co[:, 4 * MZ, 0]   # per-plane beta scalars -> SMEM
+            ins += [vh, gh, sf, co, bet] + ([uc] if fc else [])
             in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * 3 \
-                + [pl.BlockSpec(memory_space=pltpu.VMEM)] \
+                + [pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)] \
                 + ([pl.BlockSpec(memory_space=pl.ANY)] if fc else [])
             outs += [jax.ShapeDtypeStruct(vh.shape, dtype),
                      jax.ShapeDtypeStruct(gh.shape, dtype)] \
@@ -1595,9 +1608,9 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
             al[idx] = oidx
             al[idx + 1] = oidx + 1
             if fc:
-                al[idx + 4] = oidx + 2
+                al[idx + 5] = oidx + 2
             fams.append((fam, fc))
-            idx += 5 if fc else 4
+            idx += 6 if fc else 5
             oidx += 3 if fc else 2
         if NST:
             svh, sgh = states["s"]

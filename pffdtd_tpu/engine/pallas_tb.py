@@ -77,7 +77,8 @@ def _roll(x, shift, axis):
 def build_fused_tb(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                    TB: int = 4, interpret: bool = False, in_pts=None,
                    out_pts=None, planes=None,
-                   adj_planes: AdjPlanes | None = None):
+                   adj_planes: AdjPlanes | None = None,
+                   u2b_carry: bool = False):
     """Returns fn(u1, u0, adj, sigTB, states, pconsts) ->
     (uN1, uN, taps, new_states).
 
@@ -150,6 +151,18 @@ def build_fused_tb(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
     if PX:
         assert all(1 <= x <= Nx - 2 for x in xp_rows), xp_rows
 
+    # u2b carry (see pallas_pair.carry_ok): stage s's u^{n+s-2} plane
+    # sheet is stage (s-2)'s post-ODE output — stages 1/2 read it from a
+    # 2-block HBM array written by stages TB-1/TB one sweep earlier;
+    # stages >= 3 read the within-sweep value from a 3-slot VMEM ring.
+    from pffdtd_tpu.engine.pallas_pair import carry_pad
+
+    CARRY = bool(u2b_carry) and (PZ > 0 or PY > 0)
+    S2PZ = carry_pad(PZ) if (PZ and CARRY) else 0
+    S2PY = carry_pad(PY) if (PY and CARRY) else 0
+    NIZ = PZ * (TB - 2) if (PZ and CARRY) else 0   # intermediate blocks
+    NIY = PY * (TB - 2) if (PY and CARRY) else 0
+
     ap = adj_planes
     NOFULL = ap is not None
     za_lanes = [int(z) for z in ap.z_lanes] if NOFULL else []
@@ -175,30 +188,39 @@ def build_fused_tb(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
         zgh_h = next(it) if PZ else None
         zsf_h = next(it) if PZ else None   # (Nxp, PZ, Nyw)
         zco = next(it) if PZ else None     # VMEM (PZ, 5*MZ, Nyw)
+        zbet = next(it) if PZ else None    # SMEM (PZ,) per-plane beta
+        zub_h = next(it) if (PZ and CARRY) else None  # (Nxp, S2PZ, Nyw)
         yvh_h = next(it) if PY else None   # (Nxp, PY, MZ, Nzp)
         ygh_h = next(it) if PY else None
         ysf_h = next(it) if PY else None   # (Nxp, PY, Nzp)
         yco = next(it) if PY else None     # VMEM (PY, 5*MZ, Nzp)
+        ybet = next(it) if PY else None    # SMEM (PY,)
+        yub_h = next(it) if (PY and CARRY) else None  # (Nxp, S2PY, Nzp)
         xvh_h = next(it) if PX else None   # (PX, Nyp, MZ, Nzp)
         xgh_h = next(it) if PX else None
         xsf_h = next(it) if PX else None   # (PX, Nyp, 8, Nzp)
         xco = next(it) if PX else None     # VMEM (PX, 5*MZ, Nzp)
+        xbet = next(it) if PX else None    # SMEM (PX,)
         uN1_h = next(it)                   # out u^{n+TB}  (aliases u1)
         uN_h = next(it)                    # out u^{n+TB-1} (aliases u0)
         taps_o = next(it) if do_taps else None   # SMEM (NTAP, Nout)
         zvo_h = next(it) if PZ else None
         zgo_h = next(it) if PZ else None
+        zuo_h = next(it) if (PZ and CARRY) else None
         yvo_h = next(it) if PY else None
         ygo_h = next(it) if PY else None
+        yuo_h = next(it) if (PY and CARRY) else None
         xvo_h = next(it) if PX else None
         xgo_h = next(it) if PX else None
 
         def body(C, u0b, uNb, adjb,
                  zv, zg, zsf, yv, yg, ysf, xv, xg, xsb,
+                 zui, zuo, zuc, yui, yuo, yuc,
                  zadr, yadr, xadb,
                  sem_u1, sem_u1m, sem_u0, sem_adj, sem_oN, sem_oF,
                  sem_pre, sem_zin, sem_zout, sem_zsf, sem_yin, sem_yout,
-                 sem_ysf, sem_xi, sem_xo, sem_az, sem_ay, sem_ax):
+                 sem_ysf, sem_xi, sem_xo, sem_az, sem_ay, sem_ax,
+                 sem_zu, sem_yu):
             # C: tuple of TB circular (RC, Nyp, Nzp) field buffers
             # (C[0] = u1 = F[1], C[j-1] = F[j]); u0b/uNb: (2*TX, ...) flat
             # slot pairs; zv/zg: tuples of TB+1 state levels
@@ -208,7 +230,7 @@ def build_fused_tb(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
 
             def z_in(t):
                 rs = t * TX + 1
-                return [
+                cps = [
                     pltpu.make_async_copy(zvh_h.at[pl.ds(rs, TX)],
                                           zv[0].at[t % 2],
                                           sem_zin.at[t % 2, 0]),
@@ -219,6 +241,11 @@ def build_fused_tb(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                                           zsf.at[t % RD],
                                           sem_zsf.at[t % RD]),
                 ]
+                if CARRY:
+                    cps.append(pltpu.make_async_copy(
+                        zub_h.at[pl.ds(rs, TX)], zui.at[t % 3],
+                        sem_zin.at[t % 2, 2]))
+                return cps
 
             def z_out(tt):
                 rs = tt * TX + 1
@@ -231,9 +258,22 @@ def build_fused_tb(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                                           sem_zout.at[tt % 2, 1]),
                 ]
 
+            def zu_out(tt):
+                # carry flush (separate sem: waited in the writes_uN
+                # branch one visit BEFORE the final stage's z_out wait,
+                # because stage TB-1 rewrites the slot's block 0 first)
+                return pltpu.make_async_copy(
+                    zuo.at[tt % 2], zuo_h.at[pl.ds(tt * TX + 1, TX)],
+                    sem_zu.at[tt % 2])
+
+            def yu_out(tt):
+                return pltpu.make_async_copy(
+                    yuo.at[tt % 2], yuo_h.at[pl.ds(tt * TX + 1, TX)],
+                    sem_yu.at[tt % 2])
+
             def y_in(t):
                 rs = t * TX + 1
-                return [
+                cps = [
                     pltpu.make_async_copy(yvh_h.at[pl.ds(rs, TX)],
                                           yv[0].at[t % 2],
                                           sem_yin.at[t % 2, 0]),
@@ -244,6 +284,11 @@ def build_fused_tb(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                                           ysf.at[t % RD],
                                           sem_ysf.at[t % RD]),
                 ]
+                if CARRY:
+                    cps.append(pltpu.make_async_copy(
+                        yub_h.at[pl.ds(rs, TX)], yui.at[t % 3],
+                        sem_yin.at[t % 2, 2]))
+                return cps
 
             def y_out(tt):
                 rs = tt * TX + 1
@@ -605,17 +650,18 @@ def build_fused_tb(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                         taps_o[stage - 1, i] = \
                             outr[pl.ds(obase + r, 1), gy, gz][0]
 
-            def ode(ub, u2b, vh, gh, sa, co):
+            def ode(ub, u2b, vh, gh, sa, co, bs):
                 """One impedance-ODE step on dense plane values
                 (cpu_engine.h:362-405 semantics); co rows lane-broadcast
-                from lane 0."""
+                from lane 0; bs: the plane's beta as an SMEM scalar (see
+                pallas_pair.ode — avoids an unsupported two-axis Mosaic
+                vector.broadcast under the carry path's layouts)."""
                 co = co[:, 0:1]
                 b = co[0 * MZ:1 * MZ]
                 bd = co[1 * MZ:2 * MZ]
                 bDh = co[2 * MZ:3 * MZ]
                 bFh = co[3 * MZ:4 * MZ]
-                beta = co[4 * MZ]
-                lo2Kbg = lo2 * sa * beta
+                lo2Kbg = lo2 * sa * bs
                 ub_new = ub - lv * sa * jnp.sum(
                     2.0 * bDh * vh - bFh * gh, axis=-2)
                 ub_new = (ub_new + lo2Kbg * u2b) / (1.0 + lo2Kbg)
@@ -625,8 +671,11 @@ def build_fused_tb(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                 return ub_new, vh0, gh_new
 
             def zplane_stage(outr, obase, read_prev, vin, gin, vout, gout,
-                             sfslot):
-                """z-normal plane ODE: static lane extraction."""
+                             sfslot, ucin=None, rb=0, ucout=None, wb=0):
+                """z-normal plane ODE: static lane extraction.  CARRY:
+                u2b comes from the carry ring view ucin at block base rb
+                (already in plane layout), and the post-ODE sheet is
+                stashed to ucout at block base wb."""
                 if "ode" in ABLATE or "odez" in ABLATE:
                     return
                 sa_all = zsf[sfslot]
@@ -634,20 +683,26 @@ def build_fused_tb(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                 for p in range(PZ):
                     zl = zp_lanes[p]
                     ub = outr[ob, :, zl]                    # (TX, Nyp)
-                    u2b = read_prev(slice(0, TX), slice(None), zl)
+                    if CARRY:
+                        u2b = ucin[:, rb + p, :]            # (TX, Nyw)
+                    else:
+                        u2b = read_prev(slice(0, TX), slice(None), zl)
                     if Nyw > Nyp:
                         zpad = jnp.zeros((TX, Nyw - Nyp), dtype)
                         ub = jnp.concatenate([ub, zpad], axis=1)
-                        u2b = jnp.concatenate([u2b, zpad], axis=1)
+                        if not CARRY:
+                            u2b = jnp.concatenate([u2b, zpad], axis=1)
                     ub_new, vh0, gh_new = ode(ub, u2b, vin[:, p], gin[:, p],
-                                              sa_all[:, p], zco[p])
+                                              sa_all[:, p], zco[p], zbet[p])
                     vout[:, p] = vh0
                     gout[:, p] = gh_new
+                    if CARRY:
+                        ucout[:, wb + p, :] = ub_new
                     outr[ob, :, zl] = (ub_new[:, :Nyp]
                                        if Nyw > Nyp else ub_new)
 
             def yplane_stage(outr, obase, read_prev, vin, gin, vout, gout,
-                             sfslot):
+                             sfslot, ucin=None, rb=0, ucout=None, wb=0):
                 """y-normal plane ODE: static sublane extraction."""
                 if "ode" in ABLATE or "odey" in ABLATE:
                     return
@@ -656,11 +711,16 @@ def build_fused_tb(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                 for p in range(PY):
                     yl = yp_subl[p]
                     ub = outr[ob, yl, :]                    # (TX, Nzp)
-                    u2b = read_prev(slice(0, TX), yl, slice(None))
+                    if CARRY:
+                        u2b = ucin[:, rb + p, :]
+                    else:
+                        u2b = read_prev(slice(0, TX), yl, slice(None))
                     ub_new, vh0, gh_new = ode(ub, u2b, vin[:, p], gin[:, p],
-                                              sa_all[:, p], yco[p])
+                                              sa_all[:, p], yco[p], ybet[p])
                     vout[:, p] = vh0
                     gout[:, p] = gh_new
+                    if CARRY:
+                        ucout[:, wb + p, :] = ub_new
                     outr[ob, yl, :] = ub_new
 
             def xplane_pass(outr, obase, r, p, read_prev_row, first):
@@ -717,7 +777,7 @@ def build_fused_tb(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                     u2b = read_prev_row(slice(yc, yc + cy))
                     ub_new, vh0, gh_new = ode(
                         ub, u2b, xv[sl, 0:cy], xg[sl, 0:cy],
-                        xsb[sl, 0:cy, 0, :], xco[p])
+                        xsb[sl, 0:cy, 0, :], xco[p], xbet[p])
                     outr[pl.ds(obase + r, 1), yc:yc + cy, :] = ub_new[None]
                     xv[sl, 0:cy] = vh0
                     xg[sl, 0:cy] = gh_new
@@ -792,6 +852,16 @@ def build_fused_tb(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                     @pl.when(tau >= 3)
                     def _():
                         outN_copy(tau - 3).wait()
+
+                    # the carry flush of tile tau-2 must land before this
+                    # stage rewrites the slot's first stage block
+                    if CARRY:
+                        @pl.when(tau >= 2)
+                        def _():
+                            if PZ:
+                                zu_out(tau - 2).wait()
+                            if PY:
+                                yu_out(tau - 2).wait()
                 if final:
                     @pl.when(tau >= 2)
                     def _():
@@ -829,16 +899,38 @@ def build_fused_tb(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                                 lambda dx, ysl, r=r: rd_row(1 + r + dx, ysl),
                                 lambda ysl, r=r: rp(r, ysl, slice(None)))
                 apply_abc(outr, obase, tau, rp)
+
+                def uc_args(P_, ui, uc, uo):
+                    """Carry ring views for stage s: stages 1/2 read the
+                    HBM-in ring (blocks written by stages TB-1/TB one
+                    sweep earlier), stages >= 3 the within-sweep VMEM
+                    ring; stages <= TB-2 stash to the VMEM ring, stages
+                    TB-1/TB to the HBM-out ring."""
+                    if not CARRY:
+                        return dict()
+                    ucin = ui.at[jax.lax.rem(jnp.int32(tau),
+                                             jnp.int32(3))] if s <= 2 \
+                        else uc.at[jax.lax.rem(jnp.int32(tau),
+                                               jnp.int32(3))]
+                    rb = (s - 1) * P_ if s <= 2 else (s - 3) * P_
+                    ucout = uc.at[jax.lax.rem(jnp.int32(tau),
+                                              jnp.int32(3))] \
+                        if s <= TB - 2 else \
+                        uo.at[jax.lax.rem(jnp.int32(tau), jnp.int32(2))]
+                    wb = (s - 1) * P_ if s <= TB - 2 else \
+                        (s - (TB - 1)) * P_
+                    return dict(ucin=ucin, rb=rb, ucout=ucout, wb=wb)
+
                 if PZ:
                     zplane_stage(outr, obase, rp,
                                  zv[s - 1].at[tau % 2], zg[s - 1].at[tau % 2],
                                  zv[s].at[tau % 2], zg[s].at[tau % 2],
-                                 tau % RD)
+                                 tau % RD, **uc_args(PZ, zui, zuc, zuo))
                 if PY:
                     yplane_stage(outr, obase, rp,
                                  yv[s - 1].at[tau % 2], yg[s - 1].at[tau % 2],
                                  yv[s].at[tau % 2], yg[s].at[tau % 2],
-                                 tau % RD)
+                                 tau % RD, **uc_args(PY, yui, yuc, yuo))
                 if PX:
                     for p in range(PX):
                         xl = xp_rows[p]
@@ -864,9 +956,13 @@ def build_fused_tb(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                     if PZ:
                         for c in z_out(tau):
                             c.start()
+                        if CARRY:
+                            zu_out(tau).start()
                     if PY:
                         for c in y_out(tau):
                             c.start()
+                        if CARRY:
+                            yu_out(tau).start()
 
             def loop(t, _):
                 @pl.when(t + 1 < NXT)
@@ -893,9 +989,13 @@ def build_fused_tb(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                 if PZ:
                     for c in z_out(dt):
                         c.wait()
+                    if CARRY:
+                        zu_out(dt).wait()
                 if PY:
                     for c in y_out(dt):
                         c.wait()
+                    if CARRY:
+                        yu_out(dt).wait()
             for c in pre:
                 c.wait()
 
@@ -932,7 +1032,7 @@ def build_fused_tb(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                 zv=tuple(pltpu.VMEM(zs, dtype) for _ in range(TB + 1)),
                 zg=tuple(pltpu.VMEM(zs, dtype) for _ in range(TB + 1)),
                 zsf=pltpu.VMEM((RD, TX, PZ8, Nyw), dtype),
-                sem_zin=pltpu.SemaphoreType.DMA((2, 2)),
+                sem_zin=pltpu.SemaphoreType.DMA((2, 3)),
                 sem_zout=pltpu.SemaphoreType.DMA((2, 2)),
                 sem_zsf=pltpu.SemaphoreType.DMA((RD,)))
         else:
@@ -950,7 +1050,7 @@ def build_fused_tb(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                 yv=tuple(pltpu.VMEM(ys_, dtype) for _ in range(TB + 1)),
                 yg=tuple(pltpu.VMEM(ys_, dtype) for _ in range(TB + 1)),
                 ysf=pltpu.VMEM((RD, TX, PY8, Nzp), dtype),
-                sem_yin=pltpu.SemaphoreType.DMA((2, 2)),
+                sem_yin=pltpu.SemaphoreType.DMA((2, 3)),
                 sem_yout=pltpu.SemaphoreType.DMA((2, 2)),
                 sem_ysf=pltpu.SemaphoreType.DMA((RD,)))
         else:
@@ -974,6 +1074,26 @@ def build_fused_tb(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                 scratch[k] = pltpu.VMEM((1, 1), dtype)
             scratch["sem_xi"] = pltpu.SemaphoreType.DMA((1,))
             scratch["sem_xo"] = pltpu.SemaphoreType.DMA((1,))
+        if PZ and CARRY:
+            scratch["zui"] = pltpu.VMEM((3, TX, S2PZ, Nyw), dtype)
+            scratch["zuo"] = pltpu.VMEM((2, TX, S2PZ, Nyw), dtype)
+            scratch["zuc"] = pltpu.VMEM((3, TX, NIZ, Nyw) if NIZ
+                                        else (1, 1), dtype)
+        else:
+            for k in ("zui", "zuo", "zuc"):
+                scratch[k] = pltpu.VMEM((1, 1), dtype)
+        if PY and CARRY:
+            scratch["yui"] = pltpu.VMEM((3, TX, S2PY, Nzp), dtype)
+            scratch["yuo"] = pltpu.VMEM((2, TX, S2PY, Nzp), dtype)
+            scratch["yuc"] = pltpu.VMEM((3, TX, NIY, Nzp) if NIY
+                                        else (1, 1), dtype)
+        else:
+            for k in ("yui", "yuo", "yuc"):
+                scratch[k] = pltpu.VMEM((1, 1), dtype)
+        scratch["sem_zu"] = pltpu.SemaphoreType.DMA(
+            (2,) if (PZ and CARRY) else (1,))
+        scratch["sem_yu"] = pltpu.SemaphoreType.DMA(
+            (2,) if (PY and CARRY) else (1,))
 
         pl.run_scoped(body, **scratch)
 
@@ -1007,19 +1127,30 @@ def build_fused_tb(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
         for fam, on in (("z", PZ), ("y", PY), ("x", PX)):
             if not on:
                 continue
-            vh, gh = states[fam]
+            fc = CARRY and fam in ("z", "y")
+            if fc:
+                vh, gh, uc = states[fam]
+            else:
+                vh, gh = states[fam]
             sf, co = pconsts[fam]
-            ins += [vh, gh, sf, co]
+            bet = co[:, 4 * MZ, 0]   # per-plane beta scalars -> SMEM
+            ins += [vh, gh, sf, co, bet] + ([uc] if fc else [])
             in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * 3 \
-                + [pl.BlockSpec(memory_space=pltpu.VMEM)]
+                + [pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)] \
+                + ([pl.BlockSpec(memory_space=pl.ANY)] if fc else [])
             outs += [jax.ShapeDtypeStruct(vh.shape, dtype),
-                     jax.ShapeDtypeStruct(gh.shape, dtype)]
-            out_specs += [pl.BlockSpec(memory_space=pl.ANY)] * 2
+                     jax.ShapeDtypeStruct(gh.shape, dtype)] \
+                + ([jax.ShapeDtypeStruct(uc.shape, dtype)] if fc else [])
+            out_specs += [pl.BlockSpec(memory_space=pl.ANY)] * (3 if fc
+                                                                else 2)
             al[idx] = oidx
             al[idx + 1] = oidx + 1
-            fams.append(fam)
-            idx += 4
-            oidx += 2
+            if fc:
+                al[idx + 5] = oidx + 2
+            fams.append((fam, fc))
+            idx += 6 if fc else 5
+            oidx += 3 if fc else 2
         res = pl.pallas_call(
             kernel,
             out_shape=outs,
@@ -1034,9 +1165,12 @@ def build_fused_tb(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
         taps = res[2] if do_taps else jnp.zeros((NTAP, max(Nout, 1)), dtype)
         if not do_taps and Nout:
             taps = jnp.zeros((NTAP, Nout), dtype)
-        new_states = {fam: (res[n_fixed_out + 2 * i],
-                            res[n_fixed_out + 1 + 2 * i])
-                      for i, fam in enumerate(fams)}
+        new_states = {}
+        i = n_fixed_out
+        for fam, fc in fams:
+            n = 3 if fc else 2
+            new_states[fam] = tuple(res[i:i + n])
+            i += n
         return res[0], res[1], taps, new_states
 
     return fused

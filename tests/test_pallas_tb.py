@@ -36,6 +36,14 @@ def _run_tb_interpret(sim, nt_run, TB, tile_x=4, adj_planes=False):
                 s = pp.state_shape(g.Nxp)
                 vh[fam] = jnp.zeros(s, np.float32)
                 gh[fam] = jnp.zeros(s, np.float32)
+        if getattr(data, "u2b_carry", False):
+            from pffdtd_tpu.engine.pallas_pair import carry_pad
+
+            for fam, pp in (("z", planes.z), ("y", planes.y)):
+                if pp is not None:
+                    vh[fam + "c"] = jnp.zeros(
+                        (g.Nxp, carry_pad(pp.P), pp.ssaf.shape[2]),
+                        np.float32)
     carry = (jnp.zeros(g.shape, np.float32), jnp.zeros(g.shape, np.float32),
              vh, gh, jnp.zeros(len(data.out_ixyz), np.float32))
     nt = -(-nt_run // TB) * TB
@@ -161,3 +169,20 @@ def test_tb_engine_run_roundtrip(monkeypatch):
     scale = np.abs(jx.u_out).max()
     err = np.abs(eng.u_out[:, :25] - jx.u_out[:, :25]).max() / scale
     assert err < 1e-5, err
+
+
+def test_tb_u2b_carry_bit_exact(monkeypatch):
+    """TB=3 u2b-carry (HBM 2-block ring for the cross-sweep stages plus
+    the within-sweep VMEM ring for stage 3) is bit-exact against the
+    extraction path with z- and y-plane families engaged."""
+    monkeypatch.setenv("PFFDTD_ZPLANE_MIN_COUNT", "1")
+    monkeypatch.setenv("PFFDTD_ZPLANE_MIN_DENSITY", "0.3")
+    sim = synthetic_box_sim(2.5, 2.0, 1.6, h=0.1, Nt=30, lossy=True,
+                            insig_type="hann10", diff_source=False)
+    u3 = _run_tb_interpret(sim, 30, TB=3)
+    u4 = _run_tb_interpret(sim, 30, TB=4)
+    monkeypatch.setenv("PFFDTD_U2B_CARRY", "0")
+    u3p = _run_tb_interpret(sim, 30, TB=3)
+    u4p = _run_tb_interpret(sim, 30, TB=4)
+    assert np.abs(u3 - u3p).max() == 0.0
+    assert np.abs(u4 - u4p).max() == 0.0
