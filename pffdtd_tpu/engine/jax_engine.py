@@ -863,7 +863,20 @@ class JaxEngine:
                                     state_bytes=_sb(2)
                                     + carry_bytes_per_row(data.planes))
                         else:
+                            # explicit tile_x: still enable u2b-carry when
+                            # the carry rings fit VMEM at the pinned TX
                             tp2 = tp
+                            uc_ = uc_able and tp > 2 \
+                                and data.planes is not None
+                            if uc_:
+                                uc_ = tp <= pick_tile_pair(
+                                    Nyp, Nzp,
+                                    adj_bytes=0 if nofull else adjb,
+                                    state_bytes=_sb(2)
+                                    + carry_bytes_per_row(data.planes))
+                            if uc_able and not uc_:
+                                print("--ENGINE(jax): u2b-carry skipped "
+                                      f"at pinned TX={tp} (VMEM)")
                         if tp2 != tp:
                             data = EngineData(
                                 consts, vox, comms, mats, dtype=dtype,

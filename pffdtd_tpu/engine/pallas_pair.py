@@ -191,7 +191,12 @@ def carry_ok(planes, in_pts) -> bool:
     identities there.  The one exception is source injection, which
     lands AFTER the plane stages: a source sitting on a plane
     coordinate would be missed, so such scenes fall back to the
-    extraction path."""
+    extraction path.
+
+    NOTE: build_step caches the decision on data.u2b_carry, so the
+    PFFDTD_U2B_CARRY env override is LATCHED per EngineData - toggling
+    it between build_step calls on the same EngineData has no effect
+    (rebuild the EngineData, or set data.u2b_carry explicitly)."""
     if planes is None or (planes.z is None and planes.y is None):
         return False
     if os.environ.get("PFFDTD_U2B_CARRY", "1") == "0":

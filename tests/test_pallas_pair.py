@@ -351,12 +351,18 @@ def test_pair_u2b_carry_source_on_plane_guard():
     data.attach_planes()
     if data.planes.z is None:
         return
+    g = data.grid
+    zs = {int(v) for v in data.planes.z.zp}
+    ypl = data.planes.y
+    ys = {int(v) for v in ypl.yp} if ypl is not None else set()
     zl = int(data.planes.z.zp[0])
     pts = np.array([[5, 5, zl]])
     assert not carry_ok(data.planes, pts)
-    pts = np.array([[5, 5, zl + 1 if zl + 1 not in
-                     set(int(v) for v in data.planes.z.zp) else zl - 1]])
-    ok = carry_ok(data.planes, pts)
-    ypl = data.planes.y
-    if ypl is None or 5 not in {int(v) for v in ypl.yp}:
-        assert ok
+    # off-plane source: search the complements so the positive case is
+    # never vacuous (ADVICE r3: hardcoded 5/zl+-1 could collide)
+    z_off = next(z for z in range(1, g.Nz - 1) if z not in zs)
+    y_off = next(y for y in range(1, g.Ny - 1) if y not in ys)
+    assert carry_ok(data.planes, np.array([[5, y_off, z_off]]))
+    if ys:
+        assert not carry_ok(data.planes,
+                            np.array([[5, next(iter(ys)), z_off]]))
