@@ -153,6 +153,34 @@ def fp32_energy_drift(nsteps=50000, lossy=False):
     return float(b / a)
 
 
+def energy_pair_check(Lx, Ly, Lz, h, nt=16):
+    """Run the SHIPPING pallas kernel at bench scale, re-run the same
+    scene on the XLA energy path, and report (a) the max receiver-sample
+    relative difference and (b) the XLA run's energy-balance residual
+    (VERDICT r3 item 6: the energy oracle never ran on the pallas
+    kernels at scale - tile-edge/ring-aliasing bugs are scale-dependent).
+    Reference anchor: sim_fdtd.py:587-620."""
+    from pffdtd_tpu.demo import synthetic_box_sim
+    from pffdtd_tpu.engine.jax_engine import JaxEngine
+    from pffdtd_tpu.prep import fold_fcc_sim, rotate_sim, sort_sim
+
+    sim = synthetic_box_sim(Lx, Ly, Lz, h=h, Nt=nt, fcc=True, lossy=True,
+                            insig_type="impulse", DEF=DEF11)
+    sim = sort_sim(fold_fcc_sim(rotate_sim(sim)))
+    pal = JaxEngine(consts=sim.consts, vox=sim.vox, comms=sim.comms,
+                    mats=sim.mats, dtype=np.float32)
+    assert pal.backend.startswith("pallas"), pal.backend
+    pal.run(nt=nt, verbose=False)
+    xla = JaxEngine(consts=sim.consts, vox=sim.vox, comms=sim.comms,
+                    mats=sim.mats, dtype=np.float32, energy_on=True,
+                    backend="xla")
+    xla.run(nt=nt, verbose=False)
+    scale = max(float(np.abs(xla.u_out).max()), 1e-30)
+    err = float(np.abs(pal.u_out - xla.u_out).max()) / scale
+    bal = xla.energy_balance()
+    return err, float(np.abs(bal).max())
+
+
 def sharded_pallas_tpu(nt=64):
     """Mosaic-compile the multi-chip Pallas engine on the real chip (D=1
     mesh, interpret=False) and cross-check it against JaxEngine: the
@@ -184,7 +212,10 @@ def sharded_pair_tpu(nt=64):
     JaxEngine's pair path.  Returns (mvps, err, frac): frac = sharded
     rate / single-device rate on the same scene - the multi-chip fast
     path must pay <= ~10% wrapper overhead (the reference degrades only
-    3-18% from 1 to 8 GPUs, BASELINE.md)."""
+    3-18% from 1 to 8 GPUs, BASELINE.md).  The single-device run is
+    PINNED to the pair backend (TB=2): the sharded engine runs the pair
+    kernel, and frac isolates the SPMD wrapper overhead, not a TB=3-vs-
+    TB=2 algorithm difference."""
     from pffdtd_tpu.demo import synthetic_box_sim
     from pffdtd_tpu.engine.jax_engine import JaxEngine
     from pffdtd_tpu.parallel.sharded_pallas import ShardedPairEngine
@@ -192,7 +223,7 @@ def sharded_pair_tpu(nt=64):
     sim = synthetic_box_sim(21.0, 16.0, 12.6, h=0.03, Nt=nt, lossy=False,
                             insig_type="impulse")
     jx = JaxEngine(consts=sim.consts, vox=sim.vox, comms=sim.comms,
-                   mats=sim.mats, dtype=np.float32)
+                   mats=sim.mats, dtype=np.float32, backend="pallas_pair")
     jx.run(nt=nt, verbose=False)
     jx.run(nt=nt, verbose=False)
     sp = ShardedPairEngine(consts=sim.consts, vox=sim.vox, comms=sim.comms,
@@ -259,6 +290,23 @@ def main():
             secondary["sharded_pair_vs_single_frac"] = frac
         except Exception as e:  # noqa: BLE001 - secondary must not kill bench
             print(f"  sharded_pair_tpu failed: {e}", file=sys.stderr)
+        try:
+            # the energy oracle against the SHIPPING pallas kernel at
+            # bench scale (VERDICT r3 item 6); ~60 Mvox keeps the extra
+            # XLA-energy compile cheap while staying far beyond the 20^3
+            # CPU test grids
+            err_e, bal_e = energy_pair_check(28.0, 22.0, 18.0, h)
+            secondary["pair_vs_xla_energy_path_err"] = err_e
+            secondary["energy_balance_pair"] = bal_e
+        except Exception as e:  # noqa: BLE001
+            print(f"  energy_pair_check failed: {e}", file=sys.stderr)
+        try:
+            # billion-voxel FCC LOSSY (the baseline's flagship regime is
+            # 8.95e9 lossy FCC; one v5e fits ~0.5e9 folded lossy voxels)
+            secondary["fcc_lossy_1e9"] = run_synthetic(
+                True, True, 108.0, 34.0, 28.0, h, nt, tag="fcc_lossy_1e9")
+        except Exception as e:  # noqa: BLE001
+            print(f"  fcc_lossy_1e9 failed: {e}", file=sys.stderr)
         if os.path.exists("/root/reference/data"):
             try:  # the real hall through the pair+strays path.  LAST:
                 # its ~25-min Mosaic compile is the riskiest item in the
@@ -273,13 +321,43 @@ def main():
 
     for k, v in secondary.items():
         print(f"  secondary {k}: {v:.1f}", file=sys.stderr)
-    print(json.dumps({
+
+    # regression guard (VERDICT r3 item 1): never report a throughput
+    # slower than the best prior round without flagging it
+    import glob
+
+    prior = {}
+    for f in sorted(glob.glob("BENCH_r*.json")):
+        try:
+            rec = json.load(open(f))
+            rec = rec.get("parsed", rec)
+            prior[rec["metric"]] = max(prior.get(rec["metric"], 0.0),
+                                       rec.get("value", 0.0))
+            for k, v in rec.get("secondary", {}).items():
+                if isinstance(v, (int, float)) and ("mvps" in k
+                                                    or k.endswith("lossy")
+                                                    or k.endswith("rigid")
+                                                    or k.endswith("1e9")):
+                    prior[k] = max(prior.get(k, 0.0), v)
+        except Exception:  # noqa: BLE001 - guard must not kill the bench
+            continue
+    regressions = {}
+    for k, v in [("HEADLINE", headline)] + list(secondary.items()):
+        ref = prior.get(metric if k == "HEADLINE" else k)
+        if ref and isinstance(v, (int, float)) and v < 0.95 * ref:
+            regressions[k] = round(v / ref, 3)
+            print(f"  REGRESSION {k}: {v:.0f} vs best prior {ref:.0f} "
+                  f"({v / ref:.2f}x)", file=sys.stderr)
+    out = {
         "metric": metric,
         "value": round(headline, 1),
         "unit": "Mvox/s",
         "vs_baseline": round(headline / BASELINE_MVPS, 4),
         "secondary": {k: round(v, 4) for k, v in secondary.items()},
-    }))
+    }
+    if regressions:
+        out["regressions_vs_best_prior"] = regressions
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

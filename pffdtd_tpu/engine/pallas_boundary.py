@@ -1048,9 +1048,8 @@ class BoundaryXPlanes:
 
     P: int
     xp: np.ndarray       # (P,) int32 x row of each plane
-    ssaf: np.ndarray     # (P, Nyp, 8, Nzp): sub-row 0 holds the ssaf sheet
-    #                      (the 8-sublane block keeps the y-chunked DMA
-    #                      slices tile-aligned)
+    ssaf: np.ndarray     # (P, Nyp, Nzp) ssaf sheets (y-chunk DMA slices
+    #                      stay tile-aligned: CY and Nyp are 8-multiples)
     coefs: np.ndarray    # (P, 5*MZ, Nzp)
     CY: int = 64         # y-chunk rows per state DMA
 
@@ -1059,7 +1058,7 @@ class BoundaryXPlanes:
         return self.coefs.shape[1] // 5
 
     def state_shape(self, Nxp):
-        P, Nyp, _, Nzp = self.ssaf.shape
+        P, Nyp, Nzp = self.ssaf.shape
         return (P, Nyp, self.MZ, Nzp)
 
 
@@ -1191,11 +1190,11 @@ def partition_boundary_xplanes(bnl_ixyz, ssaf, mat_bnl, mat_coeffs,
 
     P = len(planes)
     MZ = -(-MMb // 8) * 8
-    ssaf_pl = np.zeros((P, Nyp, 8, Nzp), dtype)
+    ssaf_pl = np.zeros((P, Nyp, Nzp), dtype)
     xp = np.zeros(P, np.int32)
     for p, (x, mat, m) in enumerate(planes):
         xp[p] = x
-        ssaf_pl[p, iy[m], 0, iz[m]] = ssaf[m]
+        ssaf_pl[p, iy[m], iz[m]] = ssaf[m]
     coefs = _plane_coefs(mat_coeffs, [m for _, m, _ in planes], MZ, Nzp,
                          dtype)
     return BoundaryXPlanes(P=P, xp=xp, ssaf=ssaf_pl, coefs=coefs), sel
@@ -1252,10 +1251,40 @@ class BoundaryStrays:
 
 def _stray_chunk_cost(counts, TS, RW, YW, ZW):
     """Fitted per-step cost (us) of a chunking choice: fixed per-chunk
-    overhead (DMA + 9 small-matmul issues) + the exact-one-hot MAC time."""
+    overhead (state DMA + 2 K-stacked matmul issues + loop) + the
+    exact-one-hot MAC time (the 3 bf16 mantissa planes stack on the
+    contraction axis, so flops are 3x the one-hot minimum but each
+    gather/scatter is a single MXU issue)."""
     nch = int(np.ceil(counts / TS).sum())
     mac_us = 9.0 * TS * RW * YW * ZW / 197e6
-    return nch * (3.0 + mac_us)
+    return nch * (1.3 + mac_us)
+
+
+def _greedy_1d(gkey, coord, W, align, hi_clamp):
+    """Per-group greedy fixed-width interval cover.
+
+    Nodes sorted by coord within each gkey group are covered left to
+    right by intervals [s, s+W) with s = the first uncovered coord
+    floored to `align` (clamped to hi_clamp so the window stays in
+    range).  Floating starts capture wall runs that straddle the
+    aligned-block boundaries the old `coord // W * W` grouping cut at.
+    Returns each node's interval start."""
+    N = gkey.size
+    out = np.zeros(N, np.int32)
+    order = np.lexsort((coord, gkey))
+    gk = gkey[order]
+    cv = coord[order]
+    bounds = np.flatnonzero(np.r_[True, gk[1:] != gk[:-1]]) if N else \
+        np.zeros(0, np.int64)
+    bounds = np.r_[bounds, N]
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        i = a
+        while i < b:
+            s = min(int(cv[i]) // align * align, hi_clamp)
+            j = i + int(np.searchsorted(cv[i:b], s + W))
+            out[order[i:j]] = s
+            i = j
+    return out
 
 
 def partition_boundary_strays(bnl_ixyz, ssaf, mat_bnl, mat_coeffs,
@@ -1285,22 +1314,35 @@ def partition_boundary_strays(bnl_ixyz, ssaf, mat_bnl, mat_coeffs,
     yw = yw or int(os.environ.get("PFFDTD_STRAY_YW", "0"))
     rw = rw or int(os.environ.get("PFFDTD_STRAY_RW", "0"))
     zw_env = int(os.environ.get("PFFDTD_STRAY_ZW", "0"))
+
+    def _wins(RW, YW, ZW):
+        """Greedy per-tile window assignment (z intervals first, y
+        intervals within each): returns each node's (ywin, zwin)."""
+        tkey = t.astype(np.int64) * TX + (r if RW == 1 else 0)
+        zz = (np.zeros(N, np.int32) if ZW >= Nzp else
+              _greedy_1d(tkey, iz, ZW, 128, max(Nzp - ZW, 0)))
+        yy = _greedy_1d(tkey * (1 << 20) + zz, iy, YW, 8,
+                        max(Nyp - YW, 0))
+        return yy, zz
+
     # sub-Nzp z windows need 128-aligned dynamic lane slices: only offer
     # them when Nzp itself is a multiple of 128 (so the tail clamp stays
     # aligned)
     zws = [zw_env] if zw_env else sorted(
-        {Nzp} | ({256, 512} if Nzp > 512 and Nzp % 128 == 0 else set()))
+        {Nzp} | ({z for z in (128, 256, 512) if z < Nzp}
+                 if Nzp % 128 == 0 else set()))
     cand = []
     for RW in ([rw] if rw else sorted({1, TX})):
-        for YW in ([yw] if yw else [32, 64, 128]):
-            if YW > Nyp:
-                continue
-            for ZW in zws:
+        for ZW in zws:
+            for YW in ([yw] if yw else [16, 32, 64, 128]):
+                if YW > Nyp:
+                    continue
+                yy, zz = _wins(RW, YW, ZW)
                 key = ((t.astype(np.int64) * TX
-                        + (r if RW == 1 else 0)) * (1 << 20)
-                       + (iy // YW) * (1 << 6) + iz // ZW)
+                        + (r if RW == 1 else 0)) * (1 << 40)
+                       + yy.astype(np.int64) * (1 << 20) + zz)
                 _, counts = np.unique(key, return_counts=True)
-                for TS in ([ts] if ts else [128, 256, 512, 1024]):
+                for TS in ([ts] if ts else [128, 256, 512, 1024, 2048]):
                     # the (ZW, TS) gather/scatter temporaries live on the
                     # Mosaic VMEM stack (~6 block-sized values) - cap them
                     if not ts and 6 * 4 * TS * ZW > 16 * 1024 * 1024:
@@ -1311,8 +1353,7 @@ def partition_boundary_strays(bnl_ixyz, ssaf, mat_bnl, mat_coeffs,
         cand = [(0.0, rw or TX, Nyp, zw_env or Nzp, ts or 512)]
     _, RW, YW, ZW, TS = min(cand)
 
-    ywin = np.minimum(iy // YW * YW, max(Nyp - YW, 0))
-    zwin = np.minimum(iz // ZW * ZW, max(Nzp - ZW, 0))
+    ywin, zwin = _wins(RW, YW, ZW)
     key = ((t.astype(np.int64) * TX + (r if RW == 1 else 0)) * (1 << 40)
            + ywin.astype(np.int64) * (1 << 20) + zwin)
     order = np.lexsort((bnl_ixyz, key))

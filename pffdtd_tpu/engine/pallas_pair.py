@@ -252,8 +252,9 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
     [x0, is_first, is_last] (global row of local row i is i + x0) and
     in_pts is read at runtime from an SMEM (3, Nin) per-shard LOCAL
     coordinate array (out-of-range rows simply never match a tile).
-    x-normal lossy planes are unsupported sharded (static tile ownership
-    breaks SPMD) — the caller must rotate them away or fall back.
+    x-normal lossy planes run from RUNTIME rows (the xpr SMEM array);
+    planes on duplicated shard-overlap rows are given to BOTH owners and
+    the engine grafts the owner's post-pair state over the duplicate's.
     """
     Nx, Ny, Nz = grid.Nx, grid.Ny, grid.Nz
     Nxp, Nyp, Nzp = grid.shape
@@ -380,7 +381,7 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
         yub_h = next(it) if (PY and CARRY) else None  # (Nxp, S2PY, Nzp)
         xvh_h = next(it) if PX else None   # (PX, Nyp, MZ, Nzp)
         xgh_h = next(it) if PX else None
-        xsf_h = next(it) if PX else None   # (PX, Nyp, 8, Nzp)
+        xsf_h = next(it) if PX else None   # (PX, Nyp, Nzp)
         xco = next(it) if PX else None     # VMEM (PX, 5*MZ, Nzp)
         xbet = next(it) if PX else None    # SMEM (PX,)
         svh_h = next(it) if NST else None  # (NCH, MZS, TS) stray states
@@ -924,16 +925,34 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                 ndm = sndb[bj, 2:3, :]
                 sa = sndb[bj, 3:4, :]
                 ok_ = sndb[bj, 4:5, :] > 0
-                iw = jax.lax.broadcasted_iota(jnp.int32, (S_WW, S_TS), 0)
-                g1 = (iw == ndw).astype(jnp.bfloat16 if dtype ==
-                                        jnp.float32 else dtype)
                 iz_ = jax.lax.broadcasted_iota(jnp.int32, (S_ZW, S_TS), 0)
                 zm = (iz_ == ndz).astype(dtype)
-                # both gathers in ONE 3-split matmul set (per-chunk cost
-                # is small-matmul-issue-bound, ~0.35us each): the current
-                # and previous windows concatenate along z
+                # both gathers in ONE matmul (the per-chunk cost is
+                # small-matmul-issue-bound, ~0.35us each): the current and
+                # previous windows concatenate along z, and the 3 bf16
+                # mantissa planes of the exact one-hot split stack on the
+                # CONTRACTION axis (K = 3*WW) so the whole gather is a
+                # SINGLE MXU issue (same flops, 1/3 the issues; exact: each
+                # output sums the 3 disjoint mantissa segments of one value
+                # plus zeros, f32-accumulated)
                 wcat = jnp.concatenate([w2, p2], axis=1)     # (WW, 2*ZW)
-                pb = _sdot(wcat, g1, ((0,), (0,)), 0)        # (2*ZW, TS)
+                if dtype == jnp.float32:
+                    hi = wcat.astype(jnp.bfloat16)
+                    r1_ = wcat - hi.astype(jnp.float32)
+                    mid = r1_.astype(jnp.bfloat16)
+                    lo = (r1_ - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+                    lhs3 = jnp.concatenate([hi, mid, lo], 0)  # (3WW, 2ZW)
+                    iw3 = jax.lax.broadcasted_iota(
+                        jnp.int32, (3 * S_WW, S_TS), 0)
+                    g3 = (iw3 % S_WW == ndw).astype(jnp.bfloat16)
+                    pb = jax.lax.dot_general(
+                        lhs3, g3, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)  # (2*ZW, TS)
+                else:
+                    iw = jax.lax.broadcasted_iota(
+                        jnp.int32, (S_WW, S_TS), 0)
+                    g1_ = (iw == ndw).astype(dtype)
+                    pb = _sdot(wcat, g1_, ((0,), (0,)), 0)   # (2*ZW, TS)
                 ub = jnp.sum(pb[:S_ZW] * zm, axis=0, keepdims=True)
                 u2b = jnp.sum(pb[S_ZW:] * zm, axis=0, keepdims=True)
                 # per-node coefficients: masked sum over material columns
@@ -961,7 +980,27 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                 ssvb[bj, 0:MB, :] = jnp.where(ok_, vh0, zero)
                 ssgb[bj, 0:MB, :] = jnp.where(ok_, gh_new, zero)
                 dmat = zm * delta                            # (ZW, TS)
-                dw = _sdot(g1, dmat, ((1,), (1,)), 1)        # (WW, ZW)
+                if dtype == jnp.float32:
+                    # scatter as ONE MXU issue: dmat's 3 bf16 planes stack
+                    # on the contraction axis (K = 3*TS), the one-hot
+                    # replicates by iota (exact as the gather above)
+                    dh = dmat.astype(jnp.bfloat16)
+                    dr = dmat - dh.astype(jnp.float32)
+                    dm_ = dr.astype(jnp.bfloat16)
+                    dl = (dr - dm_.astype(jnp.float32)).astype(jnp.bfloat16)
+                    dcat = jnp.concatenate([dh, dm_, dl], 1)  # (ZW, 3TS)
+                    ndw3 = jnp.concatenate([ndw, ndw, ndw], 1)
+                    iwc = jax.lax.broadcasted_iota(
+                        jnp.int32, (S_WW, 3 * S_TS), 0)
+                    g1c = (iwc == ndw3).astype(jnp.bfloat16)
+                    dw = jax.lax.dot_general(
+                        g1c, dcat, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)   # (WW, ZW)
+                else:
+                    iw = jax.lax.broadcasted_iota(
+                        jnp.int32, (S_WW, S_TS), 0)
+                    g1_ = (iw == ndw).astype(dtype)
+                    dw = _sdot(g1_, dmat, ((1,), (1,)), 1)    # (WW, ZW)
                 if S_RW == TX:
                     outr[oslot, :, pl.ds(y0, S_YW), zsl] = (
                         outr[oslot, :, pl.ds(y0, S_YW), zsl]
@@ -1137,64 +1176,110 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                     outr[slot, :, :, zl] = (ub_new[:, :Nyp]
                                             if Nyw > Nyp else ub_new)
 
-            def xplane_pass(outr, oslot, r, p, prev_ref, prev_row, first):
+            NCHX = -(-Nyp // CY)
+            # static execution order of the x passes: stage-1 of plane p
+            # runs in visit t1(p)'s stage-1 block, stage-2 one visit later
+            # in the stage-2 block (which program-orders AFTER stage 1)
+            if PX and not XDYN:
+                xpass_order = sorted(
+                    [(p, True) for p in range(PX)]
+                    + [(p, False) for p in range(PX)],
+                    key=lambda pf: ((xp_rows[pf[0]] - 1) // TX
+                                    + (0 if pf[1] else 1),
+                                    0 if pf[1] else 1, pf[0]))
+                xpass_first = xpass_order[0]
+            else:
+                xpass_first = None
+            # cross-pass cout handoff (single-device only: sharded XDYN
+            # plane rows are runtime values, so the static pass order the
+            # handoff needs does not exist there and each pass drains
+            # itself).  Sem waits match by semaphore + SIZE, and chunk
+            # sizes depend only on the chunk index, so a pass can wait the
+            # PREVIOUS pass's pending flushes with its own copy objects.
+            XPIPE = PX > 0 and not XDYN
+
+            def x_cin(p, c, sl, first):
+                """Chunk-in copies; vh/gh split into y-halves so the four
+                loads ride separate DMA streams (a single stream plateaus
+                ~120 GB/s; the chunk chain is input-DMA-bound)."""
+                vin_h = xvh_h if first else xvo_h
+                gin_h = xgh_h if first else xgo_h
+                yc = c * CY
+                cy = min(CY, Nyp - yc)
+                h = (cy // 2) // 4 * 4
+                return [
+                    pltpu.make_async_copy(
+                        vin_h.at[p, pl.ds(yc, h)],
+                        xv.at[sl, pl.ds(0, h)], sem_xi.at[sl, 0]),
+                    pltpu.make_async_copy(
+                        vin_h.at[p, pl.ds(yc + h, cy - h)],
+                        xv.at[sl, pl.ds(h, cy - h)], sem_xi.at[sl, 1]),
+                    pltpu.make_async_copy(
+                        gin_h.at[p, pl.ds(yc, h)],
+                        xg.at[sl, pl.ds(0, h)], sem_xi.at[sl, 2]),
+                    pltpu.make_async_copy(
+                        gin_h.at[p, pl.ds(yc + h, cy - h)],
+                        xg.at[sl, pl.ds(h, cy - h)], sem_xi.at[sl, 3]),
+                    pltpu.make_async_copy(
+                        xsf_h.at[p, pl.ds(yc, cy)],
+                        xsb.at[sl, pl.ds(0, cy)], sem_xi.at[sl, 4]),
+                ]
+
+            def x_cout(p, c, sl):
+                yc = c * CY
+                cy = min(CY, Nyp - yc)
+                h = (cy // 2) // 4 * 4
+                return [
+                    pltpu.make_async_copy(
+                        xv.at[sl, pl.ds(0, h)],
+                        xvo_h.at[p, pl.ds(yc, h)], sem_xo.at[sl, 0]),
+                    pltpu.make_async_copy(
+                        xv.at[sl, pl.ds(h, cy - h)],
+                        xvo_h.at[p, pl.ds(yc + h, cy - h)],
+                        sem_xo.at[sl, 1]),
+                    pltpu.make_async_copy(
+                        xg.at[sl, pl.ds(0, h)],
+                        xgo_h.at[p, pl.ds(yc, h)], sem_xo.at[sl, 2]),
+                    pltpu.make_async_copy(
+                        xg.at[sl, pl.ds(h, cy - h)],
+                        xgo_h.at[p, pl.ds(yc + h, cy - h)],
+                        sem_xo.at[sl, 3]),
+                ]
+
+            def xplane_pass(outr, oslot, r, p, prev_ref, prev_row, first,
+                            has_prev=False):
                 """x-normal full-row plane ODE for plane p (STATIC tile
                 ownership: everything here is compile-time constant).
 
                 The full-row state exceeds VMEM, so (CY, MZ, Nzp) y-chunks
-                round-trip HBM with inline waits - the row is visited once
-                per stage per sweep.  Stage 1 (first=True) reads state^n
-                from the input refs and writes state^{n+1} to the aliased
-                output refs; stage 2 advances the outputs in place."""
+                round-trip HBM - the row is visited once per stage per
+                sweep.  Stage 1 (first=True) reads state^n from the input
+                refs and writes state^{n+1} to the aliased output refs;
+                stage 2 advances the outputs in place.  With XPIPE the
+                final flushes are NOT drained here: the next pass (in the
+                static pass order) waits them before reusing the slots,
+                and the kernel-end drain catches the last pass - the
+                drain leaves the tile pipeline's critical path."""
                 if "ode" in ABLATE or "odex" in ABLATE:
                     return
-                vin_h = xvh_h if first else xvo_h
-                gin_h = xgh_h if first else xgo_h
-                nch = -(-Nyp // CY)
-
-                def cin(c, sl):
-                    yc = c * CY
-                    cy = min(CY, Nyp - yc)
-                    return [
-                        pltpu.make_async_copy(
-                            vin_h.at[p, pl.ds(yc, cy)],
-                            xv.at[sl, pl.ds(0, cy)], sem_xi.at[sl, 0]),
-                        pltpu.make_async_copy(
-                            gin_h.at[p, pl.ds(yc, cy)],
-                            xg.at[sl, pl.ds(0, cy)], sem_xi.at[sl, 1]),
-                        pltpu.make_async_copy(
-                            xsf_h.at[p, pl.ds(yc, cy)],
-                            xsb.at[sl, pl.ds(0, cy)], sem_xi.at[sl, 2]),
-                    ]
-
-                def cout(c, sl):
-                    yc = c * CY
-                    cy = min(CY, Nyp - yc)
-                    return [
-                        pltpu.make_async_copy(
-                            xv.at[sl, pl.ds(0, cy)],
-                            xvo_h.at[p, pl.ds(yc, cy)], sem_xo.at[sl, 0]),
-                        pltpu.make_async_copy(
-                            xg.at[sl, pl.ds(0, cy)],
-                            xgo_h.at[p, pl.ds(yc, cy)], sem_xo.at[sl, 1]),
-                    ]
-
-                # software-pipelined double buffer: the serial
-                # in-wait/compute/out-wait chain per chunk stalled the
-                # whole tile pipeline (ablation: the x passes alone cost
-                # +56% wall clock); only the first input and the final
-                # drain are exposed now
-                for cp in cin(0, 0):
+                nch = NCHX
+                if XPIPE and has_prev:
+                    # free both slots: the previous pass left its last
+                    # chunks' flushes pending (same sizes, sem match)
+                    for c in range(max(0, nch - 2), nch):
+                        for cp in x_cout(p, c, c % 2):
+                            cp.wait()
+                for cp in x_cin(p, 0, 0, first):
                     cp.start()
                 for c in range(nch):
                     sl = c % 2
                     if c + 1 < nch:
                         if c >= 1:
-                            for cp in cout(c - 1, 1 - sl):
+                            for cp in x_cout(p, c - 1, 1 - sl):
                                 cp.wait()
-                        for cp in cin(c + 1, 1 - sl):
+                        for cp in x_cin(p, c + 1, 1 - sl, first):
                             cp.start()
-                    for cp in cin(c, sl):
+                    for cp in x_cin(p, c, sl, first):
                         cp.wait()
                     yc = c * CY
                     cy = min(CY, Nyp - yc)
@@ -1207,7 +1292,7 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                         u2b = prev_ref[prev_row, yc:yc + cy, :]
                     ub_new, vh0, gh_new = ode(
                         ub, u2b, xv[sl, 0:cy], xg[sl, 0:cy],
-                        xsb[sl, 0:cy, 0, :], xco[p], xbet[p])
+                        xsb[sl, 0:cy, :], xco[p], xbet[p])
                     if XDYN:
                         outr[oslot, pl.ds(r, 1), yc:yc + cy, :] = \
                             ub_new[None]
@@ -1215,13 +1300,14 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                         outr[oslot, r, yc:yc + cy, :] = ub_new
                     xv[sl, 0:cy] = vh0
                     xg[sl, 0:cy] = gh_new
-                    for cp in cout(c, sl):
+                    for cp in x_cout(p, c, sl):
                         cp.start()
-                # drain before returning: the aliased state arrays are
-                # re-read by the NEXT stage's pass for this plane
-                for c in range(max(0, nch - 2), nch):
-                    for cp in cout(c, c % 2):
-                        cp.wait()
+                if not XPIPE:
+                    # drain before returning: the aliased state arrays are
+                    # re-read by the NEXT stage's pass for this plane
+                    for c in range(max(0, nch - 2), nch):
+                        for cp in x_cout(p, c, c % 2):
+                            cp.wait()
 
             def yplane_stage(outr, slot, prev_ref, pslot, pbase,
                              vin, gin, vout, gout, sfslot,
@@ -1340,7 +1426,10 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                             @pl.when(t == t1)
                             def _(p=p, t1=t1, r=r):
                                 xplane_pass(u2r, t1 % 3, r, p,
-                                            u0b.at[t1 % 2], r, True)
+                                            u0b.at[t1 % 2], r, True,
+                                            has_prev=(xpass_first is not None
+                                                      and (p, True)
+                                                      != xpass_first))
                     if NST:
                         stray_pass(u2r, slot, u0b, pslot, 0, t, True)
                     if Nin:
@@ -1442,8 +1531,11 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
 
                             @pl.when(tt == t1)
                             def _(p=p, t1=t1, r=r):
+                                # a stage-2 pass is never first in the
+                                # static order (its stage 1 precedes it)
                                 xplane_pass(u3b, t1 % 2, r, p,
-                                            slab.at[t1 % 3], 1 + r, False)
+                                            slab.at[t1 % 3], 1 + r, False,
+                                            has_prev=True)
                     if NST:
                         stray_pass(u3b, oslot, slab, aslot, 1, tt, False)
                     if Nin:
@@ -1451,6 +1543,13 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                     out3_copy(tt).start()
 
             jax.lax.fori_loop(0, NXT + 1, loop, None, unroll=False)
+
+            if XPIPE and "ode" not in ABLATE and "odex" not in ABLATE:
+                # the LAST x pass left its final state flushes pending
+                pl_, _fl = xpass_order[-1]
+                for c in range(max(0, NCHX - 2), NCHX):
+                    for cp in x_cout(pl_, c, c % 2):
+                        cp.wait()
 
             # drain: waits not yet issued in-loop
             for dt in range(max(0, NXT - 3), NXT):
@@ -1531,9 +1630,9 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
             scratch.update(
                 xv=pltpu.VMEM((2, CY, MZ, Nzp), dtype),
                 xg=pltpu.VMEM((2, CY, MZ, Nzp), dtype),
-                xsb=pltpu.VMEM((2, CY, 8, Nzp), dtype),
-                sem_xi=pltpu.SemaphoreType.DMA((2, 3)),
-                sem_xo=pltpu.SemaphoreType.DMA((2, 2)))
+                xsb=pltpu.VMEM((2, CY, Nzp), dtype),
+                sem_xi=pltpu.SemaphoreType.DMA((2, 5)),
+                sem_xo=pltpu.SemaphoreType.DMA((2, 4)))
         else:
             for k in ("xv", "xg", "xsb"):
                 scratch[k] = pltpu.VMEM((1, 1), dtype)

@@ -198,7 +198,7 @@ def build_fused_tb(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
         yub_h = next(it) if (PY and CARRY) else None  # (Nxp, S2PY, Nzp)
         xvh_h = next(it) if PX else None   # (PX, Nyp, MZ, Nzp)
         xgh_h = next(it) if PX else None
-        xsf_h = next(it) if PX else None   # (PX, Nyp, 8, Nzp)
+        xsf_h = next(it) if PX else None   # (PX, Nyp, Nzp)
         xco = next(it) if PX else None     # VMEM (PX, 5*MZ, Nzp)
         xbet = next(it) if PX else None    # SMEM (PX,)
         uN1_h = next(it)                   # out u^{n+TB}  (aliases u1)
@@ -723,53 +723,94 @@ def build_fused_tb(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                         ucout[:, wb + p, :] = ub_new
                     outr[ob, yl, :] = ub_new
 
-            def xplane_pass(outr, obase, r, p, read_prev_row, first):
-                """x-normal full-row plane ODE for plane p: (CY, MZ, Nzp)
-                y-chunks round-trip HBM per stage."""
-                if "ode" in ABLATE or "odex" in ABLATE:
-                    return
+            NCHX = -(-Nyp // CY)
+            # static execution order of the x passes: stage s of plane p
+            # runs at visit t1(p) + s - 1 (stages ascend within a visit);
+            # the cross-pass cout handoff below needs this order
+            if PX:
+                xpass_order = sorted(
+                    [(p, s) for p in range(PX) for s in range(1, TB + 1)],
+                    key=lambda ps: ((xp_rows[ps[0]] - 1) // TX + ps[1] - 1,
+                                    ps[1], ps[0]))
+                xpass_first = xpass_order[0]
+            else:
+                xpass_first = None
+
+            def x_cin(p, c, sl, first):
+                """Chunk-in copies; vh/gh split into y-halves so the four
+                loads ride separate DMA streams (a single stream plateaus
+                ~120 GB/s; the chunk chain is input-DMA-bound)."""
                 vin_h = xvh_h if first else xvo_h
                 gin_h = xgh_h if first else xgo_h
-                nch = -(-Nyp // CY)
+                yc = c * CY
+                cy = min(CY, Nyp - yc)
+                h = (cy // 2) // 4 * 4
+                return [
+                    pltpu.make_async_copy(
+                        vin_h.at[p, pl.ds(yc, h)],
+                        xv.at[sl, pl.ds(0, h)], sem_xi.at[sl, 0]),
+                    pltpu.make_async_copy(
+                        vin_h.at[p, pl.ds(yc + h, cy - h)],
+                        xv.at[sl, pl.ds(h, cy - h)], sem_xi.at[sl, 1]),
+                    pltpu.make_async_copy(
+                        gin_h.at[p, pl.ds(yc, h)],
+                        xg.at[sl, pl.ds(0, h)], sem_xi.at[sl, 2]),
+                    pltpu.make_async_copy(
+                        gin_h.at[p, pl.ds(yc + h, cy - h)],
+                        xg.at[sl, pl.ds(h, cy - h)], sem_xi.at[sl, 3]),
+                    pltpu.make_async_copy(
+                        xsf_h.at[p, pl.ds(yc, cy)],
+                        xsb.at[sl, pl.ds(0, cy)], sem_xi.at[sl, 4]),
+                ]
 
-                def cin(c, sl):
-                    yc = c * CY
-                    cy = min(CY, Nyp - yc)
-                    return [
-                        pltpu.make_async_copy(
-                            vin_h.at[p, pl.ds(yc, cy)],
-                            xv.at[sl, pl.ds(0, cy)], sem_xi.at[sl, 0]),
-                        pltpu.make_async_copy(
-                            gin_h.at[p, pl.ds(yc, cy)],
-                            xg.at[sl, pl.ds(0, cy)], sem_xi.at[sl, 1]),
-                        pltpu.make_async_copy(
-                            xsf_h.at[p, pl.ds(yc, cy)],
-                            xsb.at[sl, pl.ds(0, cy)], sem_xi.at[sl, 2]),
-                    ]
+            def x_cout(p, c, sl):
+                yc = c * CY
+                cy = min(CY, Nyp - yc)
+                h = (cy // 2) // 4 * 4
+                return [
+                    pltpu.make_async_copy(
+                        xv.at[sl, pl.ds(0, h)],
+                        xvo_h.at[p, pl.ds(yc, h)], sem_xo.at[sl, 0]),
+                    pltpu.make_async_copy(
+                        xv.at[sl, pl.ds(h, cy - h)],
+                        xvo_h.at[p, pl.ds(yc + h, cy - h)],
+                        sem_xo.at[sl, 1]),
+                    pltpu.make_async_copy(
+                        xg.at[sl, pl.ds(0, h)],
+                        xgo_h.at[p, pl.ds(yc, h)], sem_xo.at[sl, 2]),
+                    pltpu.make_async_copy(
+                        xg.at[sl, pl.ds(h, cy - h)],
+                        xgo_h.at[p, pl.ds(yc + h, cy - h)],
+                        sem_xo.at[sl, 3]),
+                ]
 
-                def cout(c, sl):
-                    yc = c * CY
-                    cy = min(CY, Nyp - yc)
-                    return [
-                        pltpu.make_async_copy(
-                            xv.at[sl, pl.ds(0, cy)],
-                            xvo_h.at[p, pl.ds(yc, cy)], sem_xo.at[sl, 0]),
-                        pltpu.make_async_copy(
-                            xg.at[sl, pl.ds(0, cy)],
-                            xgo_h.at[p, pl.ds(yc, cy)], sem_xo.at[sl, 1]),
-                    ]
-
-                for cp in cin(0, 0):
+            def xplane_pass(outr, obase, r, p, read_prev_row, first,
+                            has_prev=False):
+                """x-normal full-row plane ODE for plane p: (CY, MZ, Nzp)
+                y-chunks round-trip HBM per stage.  The final flushes are
+                NOT drained here: the next pass (static order) waits them
+                before reusing the slots and the kernel-end drain catches
+                the last pass - the drain leaves the critical path."""
+                if "ode" in ABLATE or "odex" in ABLATE:
+                    return
+                nch = NCHX
+                if has_prev:
+                    # free both slots: the previous pass left its last
+                    # chunks' flushes pending (same sizes, sem match)
+                    for c in range(max(0, nch - 2), nch):
+                        for cp in x_cout(p, c, c % 2):
+                            cp.wait()
+                for cp in x_cin(p, 0, 0, first):
                     cp.start()
                 for c in range(nch):
                     sl = c % 2
                     if c + 1 < nch:
                         if c >= 1:
-                            for cp in cout(c - 1, 1 - sl):
+                            for cp in x_cout(p, c - 1, 1 - sl):
                                 cp.wait()
-                        for cp in cin(c + 1, 1 - sl):
+                        for cp in x_cin(p, c + 1, 1 - sl, first):
                             cp.start()
-                    for cp in cin(c, sl):
+                    for cp in x_cin(p, c, sl, first):
                         cp.wait()
                     yc = c * CY
                     cy = min(CY, Nyp - yc)
@@ -777,15 +818,12 @@ def build_fused_tb(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                     u2b = read_prev_row(slice(yc, yc + cy))
                     ub_new, vh0, gh_new = ode(
                         ub, u2b, xv[sl, 0:cy], xg[sl, 0:cy],
-                        xsb[sl, 0:cy, 0, :], xco[p], xbet[p])
+                        xsb[sl, 0:cy, :], xco[p], xbet[p])
                     outr[pl.ds(obase + r, 1), yc:yc + cy, :] = ub_new[None]
                     xv[sl, 0:cy] = vh0
                     xg[sl, 0:cy] = gh_new
-                    for cp in cout(c, sl):
+                    for cp in x_cout(p, c, sl):
                         cp.start()
-                for c in range(max(0, nch - 2), nch):
-                    for cp in cout(c, c % 2):
-                        cp.wait()
 
             # ------------------------------------------------- visit loop
             def run_stage(s, t):
@@ -942,7 +980,7 @@ def build_fused_tb(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                             xplane_pass(
                                 outr, obase, r, p,
                                 lambda ysl, r=r: rp(r, ysl, slice(None)),
-                                s == 1)
+                                s == 1, has_prev=(p, s) != xpass_first)
                 if Nin:
                     inject(outr, obase, tau, s - 1)
                 if do_taps and 1 <= s <= TB - 2:
@@ -980,6 +1018,13 @@ def build_fused_tb(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                         run_stage(s, t)
 
             jax.lax.fori_loop(0, NV, loop, None, unroll=False)
+
+            if PX and "ode" not in ABLATE and "odex" not in ABLATE:
+                # the LAST x pass left its final state flushes pending
+                pl_, _s = xpass_order[-1]
+                for c in range(max(0, NCHX - 2), NCHX):
+                    for cp in x_cout(pl_, c, c % 2):
+                        cp.wait()
 
             # drain: waits not yet issued in-loop
             for dt in range(max(0, NXT - 3), NXT):
@@ -1066,9 +1111,9 @@ def build_fused_tb(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
             scratch.update(
                 xv=pltpu.VMEM((2, CY, MZ, Nzp), dtype),
                 xg=pltpu.VMEM((2, CY, MZ, Nzp), dtype),
-                xsb=pltpu.VMEM((2, CY, 8, Nzp), dtype),
-                sem_xi=pltpu.SemaphoreType.DMA((2, 3)),
-                sem_xo=pltpu.SemaphoreType.DMA((2, 2)))
+                xsb=pltpu.VMEM((2, CY, Nzp), dtype),
+                sem_xi=pltpu.SemaphoreType.DMA((2, 5)),
+                sem_xo=pltpu.SemaphoreType.DMA((2, 4)))
         else:
             for k in ("xv", "xg", "xsb"):
                 scratch[k] = pltpu.VMEM((1, 1), dtype)

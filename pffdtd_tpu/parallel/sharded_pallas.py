@@ -387,19 +387,6 @@ class ShardedPairEngine:
         planes = d.planes
         S = (g.Nx - 2) // D
         self.S = S
-        if planes is not None and planes.x is not None and D > 1:
-            # x-planes on DUPLICATED overlap rows would need per-pair
-            # state exchange between the two owners; reject (global rows
-            # k*S and k*S+1 are each computed by two shards)
-            for xr in planes.x.xp:
-                xr = int(xr)
-                dup = ((xr % S == 0 and 1 <= xr // S <= D - 1)
-                       or ((xr - 1) % S == 0
-                           and 1 <= (xr - 1) // S <= D - 1))
-                if dup:
-                    raise ValueError(
-                        f"x-plane at global row {xr} lands on a shard-"
-                        f"overlap row (S={S}); pad or re-split the grid")
         adjb = 2 if d.NN == 12 else 1
         TX = tile_x or pick_tile_pair(g.Nyp, g.Nzp, adj_bytes=adjb)
         while TX > S + 2:
@@ -438,6 +425,7 @@ class ShardedPairEngine:
         self._pconsts = {}
         self._state_shapes = {}
         self._xpr = None
+        self._xdup = None
         planes_build = planes
         if planes is not None:
             for fam, pp in (("z", planes.z), ("y", planes.y)):
@@ -463,9 +451,30 @@ class ShardedPairEngine:
                 # x-planes: one fleet-max-padded set per shard, rows from
                 # an SMEM array at runtime (inactive = row 1, ssaf 0)
                 xp = planes.x
-                own = np.clip((np.asarray(xp.xp, np.int64) - 1) // S,
-                              0, D - 1)
-                PXm = max(1, int(np.bincount(own, minlength=D).max()))
+                xp_arr = np.asarray(xp.xp, np.int64)
+                own = np.clip((xp_arr - 1) // S, 0, D - 1)
+                # planes on DUPLICATED overlap rows (global rows m*S and
+                # m*S + 1 are computed by two shards): give BOTH shards
+                # the plane.  Stage 1 advances both copies identically
+                # (the overlap-computed edge u2 and the ghost u0 are the
+                # owner's own values), but the duplicate's stage-2 pass
+                # reads the garbage edge u3, so after every pair call the
+                # owner's state rows ppermute OVER the duplicate's before
+                # anything re-reads them (gpu_engine.h:516-662 splits the
+                # same rows across GPUs with per-step peer copies)
+                dups = []   # (plane, duplicate shard, owner direction)
+                if D > 1:
+                    for p, xr in enumerate(xp_arr):
+                        m = int(xr) // S
+                        if xr % S == 0 and 1 <= m <= D - 1:
+                            dups.append((p, m, "l"))      # owner m-1
+                        m2 = (int(xr) - 1) // S
+                        if (xr - 1) % S == 0 and 1 <= m2 <= D - 1:
+                            dups.append((p, m2 - 1, "r"))  # owner m2
+                counts = np.bincount(own, minlength=D)
+                for p, k, _ in dups:
+                    counts[k] += 1
+                PXm = max(1, int(counts.max()))
                 # inactive planes (ssaf = 0, exact identity) point at
                 # local row 2: the edge rows 1 / S+2 carry garbage u3 by
                 # design and 0 * garbage would poison the state
@@ -473,13 +482,25 @@ class ShardedPairEngine:
                 sa_l = np.zeros((D, PXm) + xp.ssaf.shape[1:], d.dtype)
                 co_l = np.zeros((D, PXm) + xp.coefs.shape[1:], d.dtype)
                 slots = [0] * D
-                for p, xr in enumerate(np.asarray(xp.xp, np.int64)):
+                slot_of = {}
+                for p, xr in enumerate(xp_arr):
                     k = int(own[p])
                     s = slots[k]
                     slots[k] += 1
+                    slot_of[p] = s
                     xpr[k, s] = int(xr) - int(x0[k])   # local row
                     sa_l[k, s] = xp.ssaf[p]
                     co_l[k, s] = xp.coefs[p]
+                xdup_l = np.full((D, PXm), -1, np.int32)
+                xdup_r = np.full((D, PXm), -1, np.int32)
+                for p, k, dr in dups:
+                    s = slots[k]
+                    slots[k] += 1
+                    xpr[k, s] = int(xp_arr[p]) - int(x0[k])
+                    sa_l[k, s] = xp.ssaf[p]
+                    co_l[k, s] = xp.coefs[p]
+                    (xdup_l if dr == "l" else xdup_r)[k, s] = slot_of[p]
+                self._xdup = (xdup_l, xdup_r) if dups else None
                 self._xpr = xpr
                 self._pconsts["xssaf"] = sa_l.reshape((D * PXm,)
                                                       + xp.ssaf.shape[1:])
@@ -569,14 +590,12 @@ class ShardedPairEngine:
                 u3, u2, ns = fusedp(u1, u0, C["adj"], sig2, states,
                                     pconsts, scal=scal, ipts=ipts,
                                     xpr=xpr)
-                if D > 1 and zy:
+                if D > 1 and (zy or self._xdup is not None):
                     # stage 2 updates the duplicated edge-row plane states
                     # from the (by design) stale u2 ghost: overwrite each
                     # ghost state row with the neighbour's REAL row (edge
                     # shards receive zeros - their ghost rows are global
-                    # halos with ssaf = 0, identity ODE).  x-plane states
-                    # are plane-major and never duplicated (rejected at
-                    # construction), so only z/y exchange
+                    # halos with ssaf = 0, identity ODE)
                     ns = dict(ns)
                     for f in zy:
                         vhf, ghf = ns[f]
@@ -587,6 +606,28 @@ class ShardedPairEngine:
                         vhf = vhf.at[1:2].set(vl).at[S + 2:S + 3].set(vr)
                         ghf = ghf.at[1:2].set(gl).at[S + 2:S + 3].set(gr)
                         ns[f] = (vhf, ghf)
+                    if self._xdup is not None:
+                        # duplicated-overlap-row x planes: the OWNER's
+                        # state rows (plane-major) replace the duplicate's
+                        # (whose stage-2 advance read the garbage edge u3)
+                        vhx, ghx = ns["x"]
+
+                        def graft(arr, perm, sel):
+                            nb = jax.lax.ppermute(arr, "x", perm)
+                            take = jnp.take(nb, jnp.maximum(sel, 0),
+                                            axis=0)
+                            m = (sel >= 0)[:, None, None, None]
+                            return jnp.where(m, take, arr)
+
+                        if bool((self._xdup[0] >= 0).any()):
+                            sel = C["xdup_l"][0]
+                            vhx = graft(vhx, fwd, sel)
+                            ghx = graft(ghx, fwd, sel)
+                        if bool((self._xdup[1] >= 0).any()):
+                            sel = C["xdup_r"][0]
+                            vhx = graft(vhx, bwd, sel)
+                            ghx = graft(ghx, bwd, sel)
+                        ns["x"] = (vhx, ghx)
                 if self._out_xyz.shape[1] <= MAX_TAPS:
                     # flat-index gather on the grid-sized u2/u3 inserts
                     # full-grid layout copies per step (19 vs 103 GVPS on
@@ -623,6 +664,9 @@ class ShardedPairEngine:
         }
         if self._xpr is not None:
             specs["xpr"] = P("x")
+        if self._xdup is not None:
+            specs["xdup_l"] = P("x")
+            specs["xdup_r"] = P("x")
         for f in fams:
             specs[f + "ssaf"] = P("x")
             # x-plane materials differ per shard; z/y coefs are global
@@ -642,6 +686,8 @@ class ShardedPairEngine:
              "out_xyz": self._out_xyz}
         if self._xpr is not None:
             C["xpr"] = self._xpr
+        if self._xdup is not None:
+            C["xdup_l"], C["xdup_r"] = self._xdup
         C.update(self._pconsts)
         self._C = jax.tree.map(
             lambda a, s: jax.device_put(jnp.asarray(a),

@@ -91,3 +91,20 @@ def test_fcc_fold_preserves_outputs():
     # and through the JAX engine
     out_j = _run(folded, engine="jax")
     assert np.allclose(out_j, base, rtol=0, atol=1e-10 * np.abs(base).max())
+
+
+def test_rotate_after_fold_preserves_outputs():
+    # the MV routing fix re-rotates the FOLDED grid (x <-> z, the folded y
+    # axis stays put) to move the long axis off the lane dimension: the
+    # adjacency column permutation must compose correctly with the fold's
+    # y-leg swaps
+    sim = synthetic_box_sim(3.1, 2.3, 1.7, h=0.09, Nt=40, fcc=True,
+                            lossy=True, insig_type="impulse")
+    folded = sort_sim(fold_fcc_sim(rotate_sim(sim)))
+    base = _run(folded)
+    rot = sort_sim(rotate_sim(folded, tr=(2, 1, 0)))
+    assert rot.consts.fcc_flag == 2
+    assert (rot.vox.Nx, rot.vox.Ny, rot.vox.Nz) == \
+        (folded.vox.Nz, folded.vox.Ny, folded.vox.Nx)
+    out = _run(rot)
+    assert np.allclose(out, base, rtol=0, atol=1e-12 * np.abs(base).max())

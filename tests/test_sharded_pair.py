@@ -108,6 +108,9 @@ def test_sharded_pair_lossy_x_planes_fcc(monkeypatch):
                             fcc=True, insig_type="hann10",
                             diff_source=False)
     sim = sort_sim(fold_fcc_sim(rotate_sim(sim)))
-    # D=2: this scene's x-walls land on D=4 overlap rows (correctly
-    # rejected); mid-shard at D=2 exercises the runtime-row path
-    _compare(_pad_divisible(sim, D=4), tol=1e-4, Ds=(1, 2))
+    # D=2 exercises mid-shard runtime rows; at D=4 this scene's x-walls
+    # land on shard-OVERLAP rows: both owners run the duplicated plane
+    # and the per-pair state graft keeps the copies coherent
+    sim = _pad_divisible(sim, D=4)
+    _compare(sim, tol=1e-4, Ds=(1, 2))
+    _compare(sim, tol=1e-4, Ds=(1, 4))
