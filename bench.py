@@ -153,6 +153,33 @@ def fp32_energy_drift(nsteps=50000, lossy=False):
     return float(b / a)
 
 
+def fp32_vs_fp64_rir_db(nsteps=8192):
+    """Max spectral deviation (dB) of the fp32 TPU RIR from the fp64
+    numpy oracle over the occupied band at production RIR length
+    (VERDICT r3 item 7: the fp32-stability claim needs an fp64-reference
+    error figure, not just a self-referential drift ratio).  Occupied
+    band = rfft bins within 60 dB of the fp64 peak."""
+    from pffdtd_tpu.demo import synthetic_box_sim
+    from pffdtd_tpu.engine.jax_engine import JaxEngine
+    from pffdtd_tpu.engine.numpy_ref import NumpyEngine
+
+    sim = synthetic_box_sim(3.0, 2.3, 2.0, h=0.045, Nt=nsteps, lossy=True,
+                            insig_type="hann10", diff_source=False,
+                            DEF=DEF11, open_top=True)
+    o = NumpyEngine(consts=sim.consts, vox=sim.vox, comms=sim.comms,
+                    mats=sim.mats)
+    u64 = o.run_all()[0]
+    eng = JaxEngine(consts=sim.consts, vox=sim.vox, comms=sim.comms,
+                    mats=sim.mats, dtype=np.float32)
+    eng.run(nt=nsteps, verbose=False, chunk=min(nsteps, 8192))
+    u32 = eng.u_out[0]
+    H64 = np.fft.rfft(u64)
+    H32 = np.fft.rfft(u32[:u64.size])
+    m = np.abs(H64) > np.abs(H64).max() * 1e-3   # within 60 dB of peak
+    return float(np.abs(20.0 * np.log10(
+        np.abs(H32[m]) / np.abs(H64[m]))).max())
+
+
 def energy_pair_check(Lx, Ly, Lz, h, nt=16):
     """Run the SHIPPING pallas kernel at bench scale, re-run the same
     scene on the XLA energy path, and report (a) the max receiver-sample
@@ -277,6 +304,10 @@ def main():
                 fp32_energy_drift(lossy=True)
         except Exception as e:  # noqa: BLE001
             print(f"  fp32 lossy drift failed: {e}", file=sys.stderr)
+        try:
+            secondary["fp32_vs_fp64_rir_max_db"] = fp32_vs_fp64_rir_db()
+        except Exception as e:  # noqa: BLE001
+            print(f"  fp32 spectral check failed: {e}", file=sys.stderr)
         try:
             mvps_sp, err_sp = sharded_pallas_tpu()
             secondary["sharded_pallas_tpu_mvps"] = mvps_sp

@@ -47,3 +47,39 @@ def test_sharded_pallas_bitwise(fcc):
     assert np.array_equal(outs[1], outs[4])
     scale = np.abs(jx.u_out).max()
     assert np.abs(outs[4] - jx.u_out).max() / scale < 2e-5
+
+
+def test_sharded_pallas_stray_geometry():
+    """Sloped-ceiling scene: the raked face staircases into OFF-PLANE
+    (stray) lossy nodes.  The sharded windowed boundary kernels must
+    handle arbitrary geometry bitwise across shard counts (round-3
+    VERDICT item 4: no sharded stray coverage existed)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", "__graft_entry__.py")
+    ge = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ge)
+    from pffdtd_tpu.engine.jax_engine import EngineData
+    from pffdtd_tpu.prep import pad_x_interior
+
+    sim = pad_x_interior(ge._sloped_sim(Nt=30), 4)
+    # confirm the scene really has off-plane nodes
+    d = EngineData(sim.consts, sim.vox, sim.comms, sim.mats,
+                   dtype=np.float32, pad_z=128)
+    assert d.attach_planes() > 0, "scene must have stray nodes"
+
+    jx = JaxEngine(consts=sim.consts, vox=sim.vox, comms=sim.comms,
+                   mats=sim.mats, dtype=np.float32, backend="xla")
+    jx.run(nt=30, verbose=False)
+    outs = {}
+    for D in (1, 4):
+        sp = ShardedPallasEngine(consts=sim.consts, vox=sim.vox,
+                                 comms=sim.comms, mats=sim.mats,
+                                 mesh=make_mesh(D), dtype=np.float32,
+                                 interpret=True)
+        sp.run(nt=30, verbose=False)
+        outs[D] = sp.u_out
+    assert np.array_equal(outs[1], outs[4])
+    scale = np.abs(jx.u_out).max()
+    assert np.abs(outs[4] - jx.u_out[:, :30]).max() / scale < 2e-5
