@@ -1328,7 +1328,7 @@ def partition_boundary_strays(bnl_ixyz, ssaf, mat_bnl, mat_coeffs,
     # sub-Nzp z windows need 128-aligned dynamic lane slices: only offer
     # them when Nzp itself is a multiple of 128 (so the tail clamp stays
     # aligned)
-    zws = [zw_env] if zw_env else sorted(
+    zws = [min(zw_env, Nzp)] if zw_env else sorted(
         {Nzp} | ({z for z in (128, 256, 512) if z < Nzp}
                  if Nzp % 128 == 0 else set()))
     cand = []

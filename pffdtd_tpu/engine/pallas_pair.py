@@ -615,11 +615,16 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                 # groups, 8 rolls -> 2; a lane roll costs ~2-3x an add,
                 # measured ~+37% whole-kernel when ablated).  The masked
                 # path then pre-rolls the packed adjacency word per group
-                # so bits mask in neighbour-aligned position, paying a
-                # second node-aligned unpack for K; small groups (all of
-                # Cartesian) keep the per-leg roll with the node-aligned
-                # bit shared between mask and K - exactly the pre-grouping
-                # trace (group-rolling Cartesian measured -17% rigid).
+                # so bits mask in neighbour-aligned position; the group's
+                # node-aligned K share is the SUM of those same
+                # neighbour-aligned bits rolled back once (bit sums are
+                # exact integer f32, and the wrapped lane lands on the
+                # z halo like every other rolled term) - one roll instead
+                # of a second 4-bit node-aligned unpack.  Small groups
+                # (all of Cartesian) keep the per-leg roll with the
+                # node-aligned bit shared between mask and K - exactly
+                # the pre-grouping trace (group-rolling Cartesian
+                # measured -17% rigid).
                 groups: dict[int, list[int]] = {}
                 for k in range(NN):
                     groups.setdefault(int(VV[k][2]), []).append(k)
@@ -636,6 +641,7 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                         a32g = None if NOFULL else \
                             (_roll(a32, dz, 2) if gro else a32)
                         gacc = None
+                        gK = None
                         for k in ks:
                             dx, dy, _ = VV[k]
                             if dy == 0 or (yc + dy >= 0
@@ -655,14 +661,15 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                                 bit = ((a32g >> k) & 1).astype(dtype)
                                 t_k = bit * nb
                                 if gro:
-                                    # mask bit was neighbour-aligned: K
-                                    # needs the node-aligned one (exact:
-                                    # integer-valued f32 sums never round)
-                                    bit = ((a32 >> k) & 1).astype(dtype)
-                                K = bit if K is None else K + bit
+                                    gK = bit if gK is None else gK + bit
+                                else:
+                                    K = bit if K is None else K + bit
                             gacc = t_k if gacc is None else gacc + t_k
                         if gro:
                             gacc = _roll(gacc, -dz, 2)
+                            if gK is not None:
+                                gK = _roll(gK, -dz, 2)
+                                K = gK if K is None else K + gK
                         acc = gacc if acc is None else acc + gacc
                     diag = cfull if NOFULL else (two - sl2 * K)
                     write(yc, hy,

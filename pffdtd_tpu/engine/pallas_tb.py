@@ -482,6 +482,7 @@ def build_fused_tb(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                         a32g = None if NOFULL else \
                             (_roll(a32, dz, 2) if gro else a32)
                         gacc = None
+                        gK = None
                         for k in ks:
                             dx, dy, _ = VV[k]
                             if dy == 0 or (yc + dy >= 0
@@ -498,11 +499,20 @@ def build_fused_tb(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                                 bit = ((a32g >> k) & 1).astype(dtype)
                                 t_k = bit * nb
                                 if gro:
-                                    bit = ((a32 >> k) & 1).astype(dtype)
-                                K = bit if K is None else K + bit
+                                    # node-aligned K for a rolled group =
+                                    # the neighbour-aligned bit sum rolled
+                                    # back ONCE (exact integer f32; the
+                                    # wrapped lane lands on the z halo) -
+                                    # one roll instead of 4 bit-extracts
+                                    gK = bit if gK is None else gK + bit
+                                else:
+                                    K = bit if K is None else K + bit
                             gacc = t_k if gacc is None else gacc + t_k
                         if gro:
                             gacc = _roll(gacc, -dz, 2)
+                            if gK is not None:
+                                gK = _roll(gK, -dz, 2)
+                                K = gK if K is None else K + gK
                         acc = gacc if acc is None else acc + gacc
                     diag = cfull if NOFULL else (two - sl2 * K)
                     write(yc, hy,
