@@ -1197,7 +1197,10 @@ def partition_boundary_xplanes(bnl_ixyz, ssaf, mat_bnl, mat_coeffs,
         ssaf_pl[p, iy[m], iz[m]] = ssaf[m]
     coefs = _plane_coefs(mat_coeffs, [m for _, m, _ in planes], MZ, Nzp,
                          dtype)
-    return BoundaryXPlanes(P=P, xp=xp, ssaf=ssaf_pl, coefs=coefs), sel
+    cy = int(os.environ.get("PFFDTD_XPLANE_CY", "0")) or 64
+    cy = max(8, min(-(-cy // 8) * 8, -(-Nyp // 8) * 8))
+    return BoundaryXPlanes(P=P, xp=xp, ssaf=ssaf_pl, coefs=coefs,
+                           CY=cy), sel
 
 
 @dataclass

@@ -859,6 +859,86 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                 gh_new = gh + half * (vh0 + vh)
                 return ub_new, vh0, gh_new
 
+            def ode_p(ub, u2b, vh, gh, sa, co):
+                """Batched impedance ODE over a PC-plane chunk (the MV
+                round-4 ablation: per-plane per-tile ODE calls on small
+                sheets cost ~16 ms/step at 18 z/y planes - batching the
+                plane dim into the vregs divides the instruction count
+                by PC at identical element math).
+
+                ub/u2b/sa: (TX, PC, W); vh/gh: (TX, PC, MZ, W); co:
+                (PC, 5*MZ, 1) with beta in row 4*MZ (a (PC, 1) slice
+                lane-broadcasts; no sublane broadcast, so the SMEM-scalar
+                workaround in ode() is not needed here)."""
+                b = co[:, 0 * MZ:1 * MZ]
+                bd = co[:, 1 * MZ:2 * MZ]
+                bDh = co[:, 2 * MZ:3 * MZ]
+                bFh = co[:, 3 * MZ:4 * MZ]
+                beta = co[:, 4 * MZ, :]                    # (PC, 1)
+                lo2Kbg = lo2 * sa * beta
+                ub_new = ub - lv * sa * jnp.sum(
+                    2.0 * bDh * vh - bFh * gh, axis=-2)
+                ub_new = (ub_new + lo2Kbg * u2b) / (1.0 + lo2Kbg)
+                vh0 = (b * (ub_new - u2b)[..., None, :] + bd * vh
+                       - 2.0 * bFh * gh)
+                gh_new = gh + half * (vh0 + vh)
+                return ub_new, vh0, gh_new
+
+            # planes sharing one lane/sublane (same coordinate, different
+            # material): the sequential write-back order matters only
+            # there; the batched stages reproduce it with ssaf>0 selects
+            # (exact: the ODE is a bit-exact identity at ssaf = 0)
+            PC = 8  # planes per ODE call (bounds the Mosaic stack temps)
+
+            def _batched_plane_stage(P, coords, extract, extract_prev,
+                                     insert, sa_all, co_all,
+                                     vin, gin, vout, gout,
+                                     uin, uout, soff):
+                """Shared z/y batched plane stage.
+
+                coords: the P plane lane/sublane indices (duplicates =
+                same coordinate, different material); extract(p) /
+                extract_prev(p) -> (TX, W) sheets; insert(p, val) writes
+                one back; sa_all (TX, P8, W) value; co_all (P, 5MZ, 1)
+                value; vin/gin/vout/gout (TX, P, MZ, W) refs; uin/uout
+                carry refs (TX, S2P, W) or None; soff = sidx * P."""
+                ubs = [extract(p) for p in range(P)]
+                news = []
+                for p0 in range(0, P, PC):
+                    pc = min(PC, P - p0)
+                    ub = jnp.stack(ubs[p0:p0 + pc], axis=1)
+                    if uin is not None:
+                        u2b = uin[:, soff + p0:soff + p0 + pc, :]
+                    else:
+                        u2b = jnp.stack(
+                            [extract_prev(p)
+                             for p in range(p0, p0 + pc)], axis=1)
+                    ub_new, vh0, gh_new = ode_p(
+                        ub, u2b, vin[:, p0:p0 + pc], gin[:, p0:p0 + pc],
+                        sa_all[:, p0:p0 + pc], co_all[p0:p0 + pc])
+                    vout[:, p0:p0 + pc] = vh0
+                    gout[:, p0:p0 + pc] = gh_new
+                    if uout is not None:
+                        uout[:, soff + p0:soff + p0 + pc, :] = ub_new
+                    news.append(ub_new)
+
+                def up_new(p):
+                    return news[p // PC][:, p % PC]
+
+                # write-back per unique coordinate, select-chained in
+                # plane order (bit-identical to the sequential stages:
+                # the ODE is an exact identity at ssaf = 0, and distinct
+                # materials on one coordinate own disjoint ssaf supports)
+                for p in range(P):
+                    if coords.index(coords[p]) != p:
+                        continue   # handled by its group head
+                    val = up_new(p)
+                    for q in range(p + 1, P):
+                        if coords[q] == coords[p]:
+                            val = jnp.where(sa_all[:, q] > 0,
+                                            up_new(q), val)
+                    insert(p, val)
+
             def _dot3(x2d, g):
                 """Exact one-hot matmul: f32 values split into 3 bf16
                 planes (8+8+8 mantissa bits), g one-hot {0,1} (exact in
@@ -1162,26 +1242,29 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                 if "ode" in ABLATE or "odez" in ABLATE:
                     return
                 sa_all = zsf[sfslot]
-                for p in range(PZ):
-                    zl = zp_lanes[p]
-                    ub = outr[slot, :, :, zl]               # (TX, Nyp)
-                    if CARRY:
-                        u2b = uin[:, sidx * PZ + p, :]      # (TX, Nyw)
-                    else:
-                        u2b = prev_ref[pslot, pbase:pbase + TX, :, zl]
-                    if Nyw > Nyp:
-                        zpad = jnp.zeros((TX, Nyw - Nyp), dtype)
-                        ub = jnp.concatenate([ub, zpad], axis=1)
-                        if not CARRY:
-                            u2b = jnp.concatenate([u2b, zpad], axis=1)
-                    ub_new, vh0, gh_new = ode(ub, u2b, vin[:, p], gin[:, p],
-                                              sa_all[:, p], zco[p], zbet[p])
-                    vout[:, p] = vh0
-                    gout[:, p] = gh_new
-                    if CARRY:
-                        uout[:, sidx * PZ + p, :] = ub_new
-                    outr[slot, :, :, zl] = (ub_new[:, :Nyp]
-                                            if Nyw > Nyp else ub_new)
+                zpad = (jnp.zeros((TX, Nyw - Nyp), dtype)
+                        if Nyw > Nyp else None)
+
+                def zext(p, ref=None, row0=None):
+                    sheet = (outr[slot, :, :, zp_lanes[p]] if ref is None
+                             else ref[pslot, row0:row0 + TX, :,
+                                      zp_lanes[p]])
+                    if zpad is not None:
+                        sheet = jnp.concatenate([sheet, zpad], axis=1)
+                    return sheet
+
+                def zins(p, val):
+                    outr[slot, :, :, zp_lanes[p]] = (val[:, :Nyp]
+                                                     if zpad is not None
+                                                     else val)
+
+                _batched_plane_stage(
+                    PZ, zp_lanes, zext,
+                    lambda p: zext(p, prev_ref, pbase),
+                    zins, sa_all, zco[:, :, 0:1],
+                    vin, gin, vout, gout,
+                    uin if CARRY else None, uout if CARRY else None,
+                    sidx * PZ)
 
             NCHX = -(-Nyp // CY)
             # static execution order of the x passes: stage-1 of plane p
@@ -1325,20 +1408,21 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                 if "ode" in ABLATE or "odey" in ABLATE:
                     return
                 sa_all = ysf[sfslot]
-                for p in range(PY):
-                    yl = yp_subl[p]
-                    ub = outr[slot, :, yl, :]               # (TX, Nzp)
-                    if CARRY:
-                        u2b = uin[:, sidx * PY + p, :]
-                    else:
-                        u2b = prev_ref[pslot, pbase:pbase + TX, yl, :]
-                    ub_new, vh0, gh_new = ode(ub, u2b, vin[:, p], gin[:, p],
-                                              sa_all[:, p], yco[p], ybet[p])
-                    vout[:, p] = vh0
-                    gout[:, p] = gh_new
-                    if CARRY:
-                        uout[:, sidx * PY + p, :] = ub_new
-                    outr[slot, :, yl, :] = ub_new
+
+                def yext(p):
+                    return outr[slot, :, yp_subl[p], :]     # (TX, Nzp)
+
+                def yins(p, val):
+                    outr[slot, :, yp_subl[p], :] = val
+
+                _batched_plane_stage(
+                    PY, yp_subl, yext,
+                    lambda p: prev_ref[pslot, pbase:pbase + TX,
+                                       yp_subl[p], :],
+                    yins, sa_all, yco[:, :, 0:1],
+                    vin, gin, vout, gout,
+                    uin if CARRY else None, uout if CARRY else None,
+                    sidx * PY)
 
             # ------------------------------------------------- visit loop
             def loop(t, _):

@@ -680,58 +680,121 @@ def build_fused_tb(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                 gh_new = gh + half * (vh0 + vh)
                 return ub_new, vh0, gh_new
 
+            def ode_p(ub, u2b, vh, gh, sa, co):
+                """Batched impedance ODE over a PC-plane chunk (see
+                pallas_pair.ode_p: batching the plane dim into the vregs
+                divides the per-tile instruction count by PC).  co is
+                (PC, 5*MZ, 1); beta broadcasts from a (PC, 1) slice
+                (lanes only - no two-axis Mosaic broadcast)."""
+                b = co[:, 0 * MZ:1 * MZ]
+                bd = co[:, 1 * MZ:2 * MZ]
+                bDh = co[:, 2 * MZ:3 * MZ]
+                bFh = co[:, 3 * MZ:4 * MZ]
+                beta = co[:, 4 * MZ, :]                    # (PC, 1)
+                lo2Kbg = lo2 * sa * beta
+                ub_new = ub - lv * sa * jnp.sum(
+                    2.0 * bDh * vh - bFh * gh, axis=-2)
+                ub_new = (ub_new + lo2Kbg * u2b) / (1.0 + lo2Kbg)
+                vh0 = (b * (ub_new - u2b)[..., None, :] + bd * vh
+                       - 2.0 * bFh * gh)
+                gh_new = gh + half * (vh0 + vh)
+                return ub_new, vh0, gh_new
+
+            PC = 8  # planes per ODE call (bounds the Mosaic stack temps)
+
+            def _batched_plane_stage(P, coords, extract, extract_prev,
+                                     insert, sa_all, co_all, vin, gin,
+                                     vout, gout, ucin, rb, ucout, wb):
+                """Shared z/y batched plane stage (see pallas_pair)."""
+                ubs = [extract(p) for p in range(P)]
+                news = []
+                for p0 in range(0, P, PC):
+                    pc = min(PC, P - p0)
+                    ub = jnp.stack(ubs[p0:p0 + pc], axis=1)
+                    if ucin is not None:
+                        u2b = ucin[:, rb + p0:rb + p0 + pc, :]
+                    else:
+                        u2b = jnp.stack(
+                            [extract_prev(p)
+                             for p in range(p0, p0 + pc)], axis=1)
+                    ub_new, vh0, gh_new = ode_p(
+                        ub, u2b, vin[:, p0:p0 + pc], gin[:, p0:p0 + pc],
+                        sa_all[:, p0:p0 + pc], co_all[p0:p0 + pc])
+                    vout[:, p0:p0 + pc] = vh0
+                    gout[:, p0:p0 + pc] = gh_new
+                    if ucout is not None:
+                        ucout[:, wb + p0:wb + p0 + pc, :] = ub_new
+                    news.append(ub_new)
+
+                def up_new(p):
+                    return news[p // PC][:, p % PC]
+
+                # write-back per unique coordinate, select-chained in
+                # plane order (bit-identical to the sequential stages:
+                # the ODE is an exact identity at ssaf = 0, and distinct
+                # materials on one coordinate own disjoint ssaf supports)
+                for p in range(P):
+                    if coords.index(coords[p]) != p:
+                        continue   # handled by its group head
+                    val = up_new(p)
+                    for q in range(p + 1, P):
+                        if coords[q] == coords[p]:
+                            val = jnp.where(sa_all[:, q] > 0,
+                                            up_new(q), val)
+                    insert(p, val)
+
             def zplane_stage(outr, obase, read_prev, vin, gin, vout, gout,
                              sfslot, ucin=None, rb=0, ucout=None, wb=0):
-                """z-normal plane ODE: static lane extraction.  CARRY:
-                u2b comes from the carry ring view ucin at block base rb
-                (already in plane layout), and the post-ODE sheet is
-                stashed to ucout at block base wb."""
+                """z-normal plane ODE: static lane extraction, P-batched.
+                CARRY: u2b comes from the carry ring view ucin at block
+                base rb (already in plane layout), and the post-ODE
+                sheet is stashed to ucout at block base wb."""
                 if "ode" in ABLATE or "odez" in ABLATE:
                     return
                 sa_all = zsf[sfslot]
                 ob = pl.ds(obase, TX)
-                for p in range(PZ):
-                    zl = zp_lanes[p]
-                    ub = outr[ob, :, zl]                    # (TX, Nyp)
-                    if CARRY:
-                        u2b = ucin[:, rb + p, :]            # (TX, Nyw)
-                    else:
-                        u2b = read_prev(slice(0, TX), slice(None), zl)
-                    if Nyw > Nyp:
-                        zpad = jnp.zeros((TX, Nyw - Nyp), dtype)
-                        ub = jnp.concatenate([ub, zpad], axis=1)
-                        if not CARRY:
-                            u2b = jnp.concatenate([u2b, zpad], axis=1)
-                    ub_new, vh0, gh_new = ode(ub, u2b, vin[:, p], gin[:, p],
-                                              sa_all[:, p], zco[p], zbet[p])
-                    vout[:, p] = vh0
-                    gout[:, p] = gh_new
-                    if CARRY:
-                        ucout[:, wb + p, :] = ub_new
-                    outr[ob, :, zl] = (ub_new[:, :Nyp]
-                                       if Nyw > Nyp else ub_new)
+                zpad = (jnp.zeros((TX, Nyw - Nyp), dtype)
+                        if Nyw > Nyp else None)
+
+                def zext(p, prev=False):
+                    sheet = (read_prev(slice(0, TX), slice(None),
+                                       zp_lanes[p]) if prev
+                             else outr[ob, :, zp_lanes[p]])
+                    if zpad is not None:
+                        sheet = jnp.concatenate([sheet, zpad], axis=1)
+                    return sheet
+
+                def zins(p, val):
+                    outr[ob, :, zp_lanes[p]] = (val[:, :Nyp]
+                                                if zpad is not None
+                                                else val)
+
+                _batched_plane_stage(
+                    PZ, zp_lanes, zext, lambda p: zext(p, prev=True),
+                    zins, sa_all, zco[:, :, 0:1], vin, gin, vout, gout,
+                    ucin, rb, ucout, wb)
 
             def yplane_stage(outr, obase, read_prev, vin, gin, vout, gout,
                              sfslot, ucin=None, rb=0, ucout=None, wb=0):
-                """y-normal plane ODE: static sublane extraction."""
+                """y-normal plane ODE: static sublane extraction,
+                P-batched."""
                 if "ode" in ABLATE or "odey" in ABLATE:
                     return
                 sa_all = ysf[sfslot]
                 ob = pl.ds(obase, TX)
-                for p in range(PY):
-                    yl = yp_subl[p]
-                    ub = outr[ob, yl, :]                    # (TX, Nzp)
-                    if CARRY:
-                        u2b = ucin[:, rb + p, :]
-                    else:
-                        u2b = read_prev(slice(0, TX), yl, slice(None))
-                    ub_new, vh0, gh_new = ode(ub, u2b, vin[:, p], gin[:, p],
-                                              sa_all[:, p], yco[p], ybet[p])
-                    vout[:, p] = vh0
-                    gout[:, p] = gh_new
-                    if CARRY:
-                        ucout[:, wb + p, :] = ub_new
-                    outr[ob, yl, :] = ub_new
+
+                def yext(p):
+                    return outr[ob, yp_subl[p], :]          # (TX, Nzp)
+
+                def yins(p, val):
+                    outr[ob, yp_subl[p], :] = val
+
+                _batched_plane_stage(
+                    PY, yp_subl, yext,
+                    lambda p: read_prev(slice(0, TX), yp_subl[p],
+                                        slice(None)),
+                    yins, sa_all, yco[:, :, 0:1], vin, gin, vout, gout,
+                    ucin, rb, ucout, wb)
 
             NCHX = -(-Nyp // CY)
             # static execution order of the x passes: stage s of plane p
