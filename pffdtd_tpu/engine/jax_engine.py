@@ -198,10 +198,14 @@ class EngineData:
         else:
             self.infac = 1.0
 
-    def attach_planes(self) -> int:
+    def attach_planes(self, demote_x: bool = False) -> int:
         """Axis-plane partition of the lossy nodes for the temporally-
         blocked pair kernel; returns the stray count (0 = fully fused
-        in-kernel, > 0 = the pair kernel cannot run this scene)."""
+        in-kernel, > 0 = the pair kernel cannot run this scene).
+
+        demote_x: leave dense x rows to the stray pass (profitable when
+        the scene pays for the stray pipeline anyway; see
+        partition_boundary_planes)."""
         from pffdtd_tpu.engine.pallas_boundary import \
             partition_boundary_planes
 
@@ -211,7 +215,8 @@ class EngineData:
         g = self.grid
         self.planes = partition_boundary_planes(
             self.bnl_ixyz, self.ssaf_bnl, self.mat_bnl, self.mc,
-            g.shape, dtype=self.dtype, true_shape=(g.Nx, g.Ny, g.Nz))
+            g.shape, dtype=self.dtype, true_shape=(g.Nx, g.Ny, g.Nz),
+            demote_x=demote_x)
         return self.planes.n_stray
 
     def attach_strays(self) -> int:
@@ -786,6 +791,14 @@ class JaxEngine:
                     # back to the single-step + tiled-boundary path)
                     use_strays = (n_stray > 0 and _os.environ.get(
                         "PFFDTD_STRAYS", "1") != "0")
+                    # dense x rows ride the segmented stray pipeline far
+                    # cheaper than the inline-wait x-plane pass whenever
+                    # the scene pays for the stray pass anyway (MV r4
+                    # ablation: 26 ms/step of x passes vs ~0.6 ms strayed)
+                    if use_strays and data.planes.x is not None \
+                            and _os.environ.get("PFFDTD_DEMOTE_X",
+                                                "1") != "0":
+                        n_stray = data.attach_planes(demote_x=True)
                     if n_stray == 0 or use_strays:
                         backend = "pallas_pair"
                         nofull = (False if use_strays
@@ -920,6 +933,10 @@ class JaxEngine:
             if backend in ("pallas_pair", "pallas_tb"):
                 ns = self.data.attach_planes()
                 if ns and backend == "pallas_pair":
+                    if self.data.planes.x is not None \
+                            and _os.environ.get("PFFDTD_DEMOTE_X",
+                                                "1") != "0":
+                        self.data.attach_planes(demote_x=True)
                     self.data.attach_strays()   # fuse off-plane nodes
                 else:
                     assert ns == 0, ("the TB kernel requires full "

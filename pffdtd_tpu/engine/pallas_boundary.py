@@ -1423,12 +1423,20 @@ def partition_boundary_strays(bnl_ixyz, ssaf, mat_bnl, mat_coeffs,
 
 def partition_boundary_planes(bnl_ixyz, ssaf, mat_bnl, mat_coeffs,
                               grid_shape, dtype=np.float32,
-                              true_shape=None) -> BoundaryPlanes:
+                              true_shape=None,
+                              demote_x: bool = False) -> BoundaryPlanes:
     """Greedy z -> y -> x axis-plane partition of the lossy boundary nodes.
 
     Each node joins the first family whose (coordinate, material) group
     passes the density thresholds; the leftover count is n_stray (> 0
-    forces the engine off the pair kernel onto the hybrid path)."""
+    forces the engine off the pair kernel onto the hybrid path).
+
+    demote_x: skip the x family and leave its nodes to the stray pass.
+    The x-plane pass round-trips full (Nyp, MZ, Nzp) state sheets through
+    HBM with inline waits and measured ~1.6 ms/plane/step on the real
+    Musikverein (26 of 59 ms at PX=8, round-4 ablation) while the same
+    nodes ride the segmented stray pipeline at ~0.6 ms TOTAL - when the
+    scene already pays for the stray pass, dense x rows belong there."""
     bnl_ixyz = np.asarray(bnl_ixyz)
     ssaf = np.asarray(ssaf)
     mat_bnl = np.asarray(mat_bnl)
@@ -1440,6 +1448,9 @@ def partition_boundary_planes(bnl_ixyz, ssaf, mat_bnl, mat_coeffs,
         bnl_ixyz[r], ssaf[r], mat_bnl[r], mat_coeffs, grid_shape, dtype=dtype,
         true_shape=true_shape)
     r2 = np.where(r)[0][~ysel]
+    if demote_x:
+        return BoundaryPlanes(z=z, y=y, x=None, n_stray=int(r2.size),
+                              stray_idx=r2)
     x, xsel = partition_boundary_xplanes(
         bnl_ixyz[r2], ssaf[r2], mat_bnl[r2], mat_coeffs, grid_shape,
         dtype=dtype, true_shape=true_shape)

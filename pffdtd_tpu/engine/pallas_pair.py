@@ -406,8 +406,8 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
         sgo_h = next(it) if NST else None
 
         def body(slab, u0b, adjb, u2r, slab2, u3b,
-                 zvi, zgi, zsf, zvo, zgo, zui, zuo,
-                 yvi, ygi, ysf, yvo, ygo, yui, yuo,
+                 zvi, zgi, zsf, zvo, zgo, zui, zuo, zst,
+                 yvi, ygi, ysf, yvo, ygo, yui, yuo, yst,
                  xv, xg, xsb, sndb, ssvb, ssgb,
                  zadr, yadr, xadb,
                  sem_in, sem_o2, sem_o3, sem_pre, sem_zin, sem_zout,
@@ -893,7 +893,7 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
             def _batched_plane_stage(P, coords, extract, extract_prev,
                                      insert, sa_all, co_all,
                                      vin, gin, vout, gout,
-                                     uin, uout, soff):
+                                     uin, uout, soff, stg):
                 """Shared z/y batched plane stage.
 
                 coords: the P plane lane/sublane indices (duplicates =
@@ -901,18 +901,24 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                 extract_prev(p) -> (TX, W) sheets; insert(p, val) writes
                 one back; sa_all (TX, P8, W) value; co_all (P, 5MZ, 1)
                 value; vin/gin/vout/gout (TX, P, MZ, W) refs; uin/uout
-                carry refs (TX, S2P, W) or None; soff = sidx * P."""
-                ubs = [extract(p) for p in range(P)]
+                carry refs (TX, S2P, W) or None; soff = sidx * P; stg:
+                (2, TX, P8, W) staging scratch - lane/sublane-extracted
+                sheets carry their source offset in the Mosaic layout and
+                tpu.concatenate refuses mixed offsets, so the sheets
+                round-trip a VMEM ref to canonicalize before batching."""
+                for p in range(P):
+                    stg[0, :, p, :] = extract(p)
+                if uin is None:
+                    for p in range(P):
+                        stg[1, :, p, :] = extract_prev(p)
                 news = []
                 for p0 in range(0, P, PC):
                     pc = min(PC, P - p0)
-                    ub = jnp.stack(ubs[p0:p0 + pc], axis=1)
+                    ub = stg[0, :, p0:p0 + pc, :]
                     if uin is not None:
                         u2b = uin[:, soff + p0:soff + p0 + pc, :]
                     else:
-                        u2b = jnp.stack(
-                            [extract_prev(p)
-                             for p in range(p0, p0 + pc)], axis=1)
+                        u2b = stg[1, :, p0:p0 + pc, :]
                     ub_new, vh0, gh_new = ode_p(
                         ub, u2b, vin[:, p0:p0 + pc], gin[:, p0:p0 + pc],
                         sa_all[:, p0:p0 + pc], co_all[p0:p0 + pc])
@@ -1264,7 +1270,7 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                     zins, sa_all, zco[:, :, 0:1],
                     vin, gin, vout, gout,
                     uin if CARRY else None, uout if CARRY else None,
-                    sidx * PZ)
+                    sidx * PZ, zst)
 
             NCHX = -(-Nyp // CY)
             # static execution order of the x passes: stage-1 of plane p
@@ -1422,7 +1428,7 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                     yins, sa_all, yco[:, :, 0:1],
                     vin, gin, vout, gout,
                     uin if CARRY else None, uout if CARRY else None,
-                    sidx * PY)
+                    sidx * PY, yst)
 
             # ------------------------------------------------- visit loop
             def loop(t, _):
@@ -1685,10 +1691,11 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                 zvi=pltpu.VMEM(zs, dtype), zgi=pltpu.VMEM(zs, dtype),
                 zvo=pltpu.VMEM(zs, dtype), zgo=pltpu.VMEM(zs, dtype),
                 zsf=pltpu.VMEM((3, TX, PZ8, Nyw), dtype),
+                zst=pltpu.VMEM((2, TX, PZ8, Nyw), dtype),
                 sem_zin=pltpu.SemaphoreType.DMA((2, 4)),
                 sem_zout=pltpu.SemaphoreType.DMA((2, 3)))
         else:
-            for k in ("zvi", "zgi", "zvo", "zgo", "zsf"):
+            for k in ("zvi", "zgi", "zvo", "zgo", "zsf", "zst"):
                 scratch[k] = pltpu.VMEM((1, 1), dtype)
             scratch["sem_zin"] = pltpu.SemaphoreType.DMA((1,))
             scratch["sem_zout"] = pltpu.SemaphoreType.DMA((1,))
@@ -1704,10 +1711,11 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                 yvi=pltpu.VMEM(ys_, dtype), ygi=pltpu.VMEM(ys_, dtype),
                 yvo=pltpu.VMEM(ys_, dtype), ygo=pltpu.VMEM(ys_, dtype),
                 ysf=pltpu.VMEM((3, TX, PY8, Nzp), dtype),
+                yst=pltpu.VMEM((2, TX, PY8, Nzp), dtype),
                 sem_yin=pltpu.SemaphoreType.DMA((2, 4)),
                 sem_yout=pltpu.SemaphoreType.DMA((2, 3)))
         else:
-            for k in ("yvi", "ygi", "yvo", "ygo", "ysf"):
+            for k in ("yvi", "ygi", "yvo", "ygo", "ysf", "yst"):
                 scratch[k] = pltpu.VMEM((1, 1), dtype)
             scratch["sem_yin"] = pltpu.SemaphoreType.DMA((1,))
             scratch["sem_yout"] = pltpu.SemaphoreType.DMA((1,))

@@ -214,7 +214,7 @@ def build_fused_tb(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
         xgo_h = next(it) if PX else None
 
         def body(C, u0b, uNb, adjb,
-                 zv, zg, zsf, yv, yg, ysf, xv, xg, xsb,
+                 zv, zg, zsf, zst, yv, yg, ysf, yst, xv, xg, xsb,
                  zui, zuo, zuc, yui, yuo, yuc,
                  zadr, yadr, xadb,
                  sem_u1, sem_u1m, sem_u0, sem_adj, sem_oN, sem_oF,
@@ -704,19 +704,25 @@ def build_fused_tb(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
 
             def _batched_plane_stage(P, coords, extract, extract_prev,
                                      insert, sa_all, co_all, vin, gin,
-                                     vout, gout, ucin, rb, ucout, wb):
-                """Shared z/y batched plane stage (see pallas_pair)."""
-                ubs = [extract(p) for p in range(P)]
+                                     vout, gout, ucin, rb, ucout, wb,
+                                     stg):
+                """Shared z/y batched plane stage (see pallas_pair);
+                stg: (2, TX, P8, W) staging scratch that canonicalizes
+                the offset-carrying extracted sheet layouts (Mosaic
+                tpu.concatenate refuses mixed lane/sublane offsets)."""
+                for p in range(P):
+                    stg[0, :, p, :] = extract(p)
+                if ucin is None:
+                    for p in range(P):
+                        stg[1, :, p, :] = extract_prev(p)
                 news = []
                 for p0 in range(0, P, PC):
                     pc = min(PC, P - p0)
-                    ub = jnp.stack(ubs[p0:p0 + pc], axis=1)
+                    ub = stg[0, :, p0:p0 + pc, :]
                     if ucin is not None:
                         u2b = ucin[:, rb + p0:rb + p0 + pc, :]
                     else:
-                        u2b = jnp.stack(
-                            [extract_prev(p)
-                             for p in range(p0, p0 + pc)], axis=1)
+                        u2b = stg[1, :, p0:p0 + pc, :]
                     ub_new, vh0, gh_new = ode_p(
                         ub, u2b, vin[:, p0:p0 + pc], gin[:, p0:p0 + pc],
                         sa_all[:, p0:p0 + pc], co_all[p0:p0 + pc])
@@ -772,7 +778,7 @@ def build_fused_tb(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                 _batched_plane_stage(
                     PZ, zp_lanes, zext, lambda p: zext(p, prev=True),
                     zins, sa_all, zco[:, :, 0:1], vin, gin, vout, gout,
-                    ucin, rb, ucout, wb)
+                    ucin, rb, ucout, wb, zst)
 
             def yplane_stage(outr, obase, read_prev, vin, gin, vout, gout,
                              sfslot, ucin=None, rb=0, ucout=None, wb=0):
@@ -794,7 +800,7 @@ def build_fused_tb(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                     lambda p: read_prev(slice(0, TX), yp_subl[p],
                                         slice(None)),
                     yins, sa_all, yco[:, :, 0:1], vin, gin, vout, gout,
-                    ucin, rb, ucout, wb)
+                    ucin, rb, ucout, wb, yst)
 
             NCHX = -(-Nyp // CY)
             # static execution order of the x passes: stage s of plane p
@@ -1150,6 +1156,7 @@ def build_fused_tb(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                 zv=tuple(pltpu.VMEM(zs, dtype) for _ in range(TB + 1)),
                 zg=tuple(pltpu.VMEM(zs, dtype) for _ in range(TB + 1)),
                 zsf=pltpu.VMEM((RD, TX, PZ8, Nyw), dtype),
+                zst=pltpu.VMEM((2, TX, PZ8, Nyw), dtype),
                 sem_zin=pltpu.SemaphoreType.DMA((2, 3)),
                 sem_zout=pltpu.SemaphoreType.DMA((2, 2)),
                 sem_zsf=pltpu.SemaphoreType.DMA((RD,)))
@@ -1159,6 +1166,7 @@ def build_fused_tb(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
             scratch["zg"] = tuple(pltpu.VMEM((1, 1), dtype)
                                   for _ in range(TB + 1))
             scratch["zsf"] = pltpu.VMEM((1, 1), dtype)
+            scratch["zst"] = pltpu.VMEM((1, 1), dtype)
             scratch["sem_zin"] = pltpu.SemaphoreType.DMA((1,))
             scratch["sem_zout"] = pltpu.SemaphoreType.DMA((1,))
             scratch["sem_zsf"] = pltpu.SemaphoreType.DMA((1,))
@@ -1168,6 +1176,7 @@ def build_fused_tb(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                 yv=tuple(pltpu.VMEM(ys_, dtype) for _ in range(TB + 1)),
                 yg=tuple(pltpu.VMEM(ys_, dtype) for _ in range(TB + 1)),
                 ysf=pltpu.VMEM((RD, TX, PY8, Nzp), dtype),
+                yst=pltpu.VMEM((2, TX, PY8, Nzp), dtype),
                 sem_yin=pltpu.SemaphoreType.DMA((2, 3)),
                 sem_yout=pltpu.SemaphoreType.DMA((2, 2)),
                 sem_ysf=pltpu.SemaphoreType.DMA((RD,)))
@@ -1177,6 +1186,7 @@ def build_fused_tb(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
             scratch["yg"] = tuple(pltpu.VMEM((1, 1), dtype)
                                   for _ in range(TB + 1))
             scratch["ysf"] = pltpu.VMEM((1, 1), dtype)
+            scratch["yst"] = pltpu.VMEM((1, 1), dtype)
             scratch["sem_yin"] = pltpu.SemaphoreType.DMA((1,))
             scratch["sem_yout"] = pltpu.SemaphoreType.DMA((1,))
             scratch["sem_ysf"] = pltpu.SemaphoreType.DMA((1,))

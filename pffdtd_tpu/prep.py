@@ -96,35 +96,45 @@ def rotate_sim(sim: SimData, tr=None, orient: str = "auto") -> SimData:
     N = (vox.Nx, vox.Ny, vox.Nz)
     if tr is None:
         if orient == "auto" and vox.Nb:
-            # score each candidate z axis (ns/step, fit to v5e sweeps):
-            # - lane padding (Nz -> next 128 multiple) streams ~0.28 ns
-            #   per padded voxel;
-            # - a z-normal boundary face costs ~3 ns (off the dense path);
-            # - the RESULTING (Nyp, Nzp) plane row size caps the fused
-            #   kernels' TX tile (VMEM), and the measured fixed cost per
-            #   stage-tile (~25 us) times (Nx/TX) tiles/step dominates at
-            #   scale - the term that keeps huge dims OFF z (a 1.7 MB
-            #   plane row forced TX=2 on the real Musikverein, halving
-            #   throughput before round 3 added this term)
+            # score each candidate z axis (ns/step, recalibrated round 4
+            # against the MV orientation experiments + the TX-matrix
+            # probes): the pair kernel streams EVERY padded voxel at a
+            # TX-dependent rate (ghost-row DMA amplification makes small
+            # TX expensive at scale: (TX+4)/TX reads), so the score is
+            # the padded-volume bulk cost at the TX the (Nyp, Nzp) plane
+            # row affords, plus a small z-normal-face tiebreak (lane
+            # extractions / stray z windows).  With the batched plane
+            # ODEs and x->stray demotion the old per-family placement
+            # terms are near-flat and no longer modeled.
             from pffdtd_tpu.engine.pallas_pair import pick_tile_pair
 
+            TX_RATE = {8: 0.037, 6: 0.038, 4: 0.040, 3: 0.047, 2: 0.056}
             faces = boundary_face_counts(vox)
             Ntot = int(np.prod(N))
-            will_fold = int(getattr(sim.consts, "fcc_flag", 0)) == 1
+            fcc = int(getattr(sim.consts, "fcc_flag", 0))
+            will_fold = fcc == 1
             score = []
             for k in range(3):
-                pad = (-(-N[k] // 128) * 128 - N[k]) * (Ntot // N[k])
+                if fcc == 2 and k == 1:
+                    # a folded sim's half-y axis must stay on y
+                    score.append(np.inf)
+                    continue
                 rest = sorted((j for j in range(3) if j != k),
                               key=lambda j: -N[j])
+                if fcc == 2 and rest[1] != 1:
+                    rest = [j for j in range(3) if j not in (k, 1)] + [1]
                 ny = N[rest[1]] // 2 + 1 if will_fold else N[rest[1]]
                 nyp = -(-ny // 8) * 8
                 nzp = -(-N[k] // 128) * 128
+                npad = (N[rest[0]] + 2) * nyp * nzp
                 tx = pick_tile_pair(nyp, nzp, adj_bytes=2)
-                fixed = 25_000.0 * N[rest[0]] / max(int(tx), 1)
-                score.append(0.28 * pad + 3.0 * int(faces[k]) + fixed)
+                score.append(TX_RATE.get(int(tx), 0.06) * npad
+                             + 0.5 * int(faces[k]))
             zax = int(np.argmin(score))
             rest = [k for k in range(3) if k != zax]
             rest.sort(key=lambda k: -N[k])
+            if fcc == 2 and rest[1] != 1:
+                rest = [j for j in range(3) if j not in (zax, 1)] + [1]
             tr = (rest[0], rest[1], zax)
         else:
             tr = tuple(np.argsort(N)[::-1])
