@@ -795,10 +795,40 @@ class JaxEngine:
                     # cheaper than the inline-wait x-plane pass whenever
                     # the scene pays for the stray pass anyway (MV r4
                     # ablation: 26 ms/step of x passes vs ~0.6 ms strayed)
-                    if use_strays and data.planes.x is not None \
-                            and _os.environ.get("PFFDTD_DEMOTE_X",
-                                                "1") != "0":
+                    demoted = (use_strays and data.planes.x is not None
+                               and _os.environ.get("PFFDTD_DEMOTE_X",
+                                                   "1") != "0")
+                    if demoted:
                         n_stray = data.attach_planes(demote_x=True)
+                    if use_strays:
+                        # empirical route model (VERDICT r3 #1a): predict
+                        # BOTH routes and never auto-pick a path slower
+                        # than its own fallback.  Rates fit on the v5e
+                        # round-4 probes: bulk streams every padded voxel
+                        # at a TX-dependent rate (ghost-row DMA
+                        # amplification), strays ~5 ns/node through the
+                        # segmented pass, the hybrid boundary kernel
+                        # ~4 ns/lossy-node plus a ~1.4x single-step bulk
+                        # premium (no pair amortization).
+                        TXR = {8: 0.037, 6: 0.038, 4: 0.040, 3: 0.047,
+                               2: 0.056}
+                        g_ = data.grid
+                        npad_ = g_.Nxp * g_.Nyp * g_.Nzp
+                        pair_ms = (TXR.get(int(tp), 0.06) * npad_
+                                   + 5.0 * n_stray) / 1e6
+                        hyb_ms = (1.4 * TXR.get(2, 0.056) * npad_
+                                  + 4.0 * data.Nbl) / 1e6
+                        route = _os.environ.get("PFFDTD_ROUTE", "")
+                        pick_hyb = (route == "hybrid"
+                                    or (route != "pair"
+                                        and hyb_ms < pair_ms))
+                        print(f"--ENGINE(jax): route model pair "
+                              f"{pair_ms:.1f} ms/step vs hybrid "
+                              f"{hyb_ms:.1f} -> "
+                              f"{'hybrid' if pick_hyb else 'pair'}"
+                              f"{' (forced)' if route else ''}")
+                        if pick_hyb:
+                            use_strays = False
                     if n_stray == 0 or use_strays:
                         backend = "pallas_pair"
                         nofull = (False if use_strays
@@ -895,7 +925,7 @@ class JaxEngine:
                                 consts, vox, comms, mats, dtype=dtype,
                                 pad_z=pad_z, fp32_eps=fp32_eps,
                                 tile_x=tp2)
-                            data.attach_planes()
+                            data.attach_planes(demote_x=demoted)
                             if nofull:
                                 data.attach_adj_planes()
                             tp = tp2

@@ -36,6 +36,8 @@ if os.environ.get("BACKEND"):
     kw["backend"] = os.environ["BACKEND"]
 if os.environ.get("TX"):
     kw["tile_x"] = int(os.environ["TX"])
+# PFFDTD_U2B_CARRY=0 measures the carry delta (VERDICT r3 item 3);
+# PFFDTD_XPLANE_CY sweeps the x-pass chunk rows
 eng = JaxEngine(consts=sim.consts, vox=sim.vox, comms=sim.comms,
                 mats=sim.mats, dtype=np.float32, **kw)
 t0 = time.time()
