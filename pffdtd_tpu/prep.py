@@ -81,6 +81,45 @@ def pad_x_interior(sim: SimData, D: int, interior: bool = True) -> SimData:
         xv=np.r_[vox.xv, vox.xv[-1] + vox.h * np.arange(1, add + 1)]))
 
 
+def orientation_scores(N, faces, fcc: int) -> list:
+    """ns/step score of putting axis k on z, for k in 0..2.
+
+    Recalibrated round 4 against the MV orientation experiments + the
+    TX-matrix probes: the pair kernel streams EVERY padded voxel at a
+    TX-dependent rate (ghost-row DMA amplification makes small TX
+    expensive at scale: (TX+4)/TX reads), so the score is the
+    padded-volume bulk cost at the TX the (Nyp, Nzp) plane row affords,
+    plus a SMALL z-normal-face tiebreak (lane extractions / stray z
+    windows).  The tiebreak weight matters: at 0.5 ns/leg it overrode a
+    real TX=8-vs-TX=6 bulk gap on the 125-Mvox synthetic hall (21.5 ->
+    16.5 GVPS regression, round 4) — keep it an order of magnitude
+    below the bulk term so it only splits genuine ties.  With the
+    batched plane ODEs and x->stray demotion the old per-family
+    placement terms are near-flat and no longer modeled."""
+    from pffdtd_tpu.engine.pallas_pair import pick_tile_pair
+
+    TX_RATE = {8: 0.037, 6: 0.038, 4: 0.040, 3: 0.047, 2: 0.056}
+    will_fold = fcc == 1
+    score = []
+    for k in range(3):
+        if fcc == 2 and k == 1:
+            # a folded sim's half-y axis must stay on y
+            score.append(np.inf)
+            continue
+        rest = sorted((j for j in range(3) if j != k),
+                      key=lambda j: -N[j])
+        if fcc == 2 and rest[1] != 1:
+            rest = [j for j in range(3) if j not in (k, 1)] + [1]
+        ny = N[rest[1]] // 2 + 1 if will_fold else N[rest[1]]
+        nyp = -(-ny // 8) * 8
+        nzp = -(-N[k] // 128) * 128
+        npad = (N[rest[0]] + 2) * nyp * nzp
+        tx = pick_tile_pair(nyp, nzp, adj_bytes=2)
+        score.append(TX_RATE.get(int(tx), 0.06) * npad
+                     + 0.05 * int(faces[k]))
+    return score
+
+
 def rotate_sim(sim: SimData, tr=None, orient: str = "auto") -> SimData:
     """Permute grid dims for TPU-friendly memory order.
 
@@ -96,40 +135,9 @@ def rotate_sim(sim: SimData, tr=None, orient: str = "auto") -> SimData:
     N = (vox.Nx, vox.Ny, vox.Nz)
     if tr is None:
         if orient == "auto" and vox.Nb:
-            # score each candidate z axis (ns/step, recalibrated round 4
-            # against the MV orientation experiments + the TX-matrix
-            # probes): the pair kernel streams EVERY padded voxel at a
-            # TX-dependent rate (ghost-row DMA amplification makes small
-            # TX expensive at scale: (TX+4)/TX reads), so the score is
-            # the padded-volume bulk cost at the TX the (Nyp, Nzp) plane
-            # row affords, plus a small z-normal-face tiebreak (lane
-            # extractions / stray z windows).  With the batched plane
-            # ODEs and x->stray demotion the old per-family placement
-            # terms are near-flat and no longer modeled.
-            from pffdtd_tpu.engine.pallas_pair import pick_tile_pair
-
-            TX_RATE = {8: 0.037, 6: 0.038, 4: 0.040, 3: 0.047, 2: 0.056}
             faces = boundary_face_counts(vox)
-            Ntot = int(np.prod(N))
             fcc = int(getattr(sim.consts, "fcc_flag", 0))
-            will_fold = fcc == 1
-            score = []
-            for k in range(3):
-                if fcc == 2 and k == 1:
-                    # a folded sim's half-y axis must stay on y
-                    score.append(np.inf)
-                    continue
-                rest = sorted((j for j in range(3) if j != k),
-                              key=lambda j: -N[j])
-                if fcc == 2 and rest[1] != 1:
-                    rest = [j for j in range(3) if j not in (k, 1)] + [1]
-                ny = N[rest[1]] // 2 + 1 if will_fold else N[rest[1]]
-                nyp = -(-ny // 8) * 8
-                nzp = -(-N[k] // 128) * 128
-                npad = (N[rest[0]] + 2) * nyp * nzp
-                tx = pick_tile_pair(nyp, nzp, adj_bytes=2)
-                score.append(TX_RATE.get(int(tx), 0.06) * npad
-                             + 0.5 * int(faces[k]))
+            score = orientation_scores(N, faces, fcc)
             zax = int(np.argmin(score))
             rest = [k for k in range(3) if k != zax]
             rest.sort(key=lambda k: -N[k])

@@ -108,3 +108,26 @@ def test_rotate_after_fold_preserves_outputs():
         (folded.vox.Nz, folded.vox.Ny, folded.vox.Nx)
     out = _run(rot)
     assert np.allclose(out, base, rtol=0, atol=1e-12 * np.abs(base).max())
+
+
+def test_orientation_score_bulk_beats_face_tiebreak():
+    # round-4 regression: the z-normal-face tiebreak at 0.5 ns/leg
+    # overrode a real TX=8-vs-TX=6 bulk-rate gap on the 125-Mvox
+    # synthetic hall and cost 23% of the headline (21.5 -> 16.5 GVPS).
+    # Lock both decisions: the hall keeps its short axis on z (TX=8
+    # plane rows), the folded MV keeps the 1664 axis on x (tiles).
+    from pffdtd_tpu.prep import orientation_scores
+
+    # synthetic bench hall, pre-fold interleaved dims; faces ~ 4x the
+    # normal wall areas in voxels (two walls, ~2 cut legs per node)
+    N = (792, 618, 510)
+    faces = 4 * np.array([N[1] * N[2], N[0] * N[2], N[0] * N[1]])
+    s = orientation_scores(N, faces, fcc=1)
+    assert int(np.argmin(s)) == 2, s
+    # Musikverein, folded orientation A (646, 250, 1664): axis 0 on z
+    # (tr = (2, 1, 0)) affords TX=8 rows; y (folded) must score inf
+    N = (646, 250, 1664)
+    faces = 4 * np.array([N[1] * N[2], N[0] * N[2], N[0] * N[1]])
+    s = orientation_scores(N, faces, fcc=2)
+    assert s[1] == np.inf
+    assert int(np.argmin(s)) == 0, s
