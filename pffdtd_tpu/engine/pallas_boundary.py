@@ -1023,13 +1023,19 @@ def partition_boundary_zplanes(bnl_ixyz, ssaf, mat_bnl, mat_coeffs,
 class BoundaryYPlanes:
     """Per-y-plane boundary data (single material per plane).
 
-    States are x-major - (Nxp, P, MZ, Nzp) - so the stencil kernel fetches
-    one contiguous (TX, P, MZ, Nzp) block per x-row tile."""
+    States are x-major - (Nxp, P, MZ, W) - so the stencil kernel fetches
+    one contiguous (TX, P, MZ, W) block per x-row tile.  W is the
+    128-aligned z-window [z0, z0 + W) covering every selected node
+    (lanes outside the union span carry no nodes, and the plane ODE is
+    an exact identity on ssaf = 0 lanes, so the kernels only touch the
+    window: at Musikverein scale the window cuts 17% of the y-family
+    state DMA, VMEM and ODE vector work)."""
 
     P: int
     yp: np.ndarray       # (P,) int32 sublane (y) index of each plane
-    ssaf: np.ndarray     # (Nxp, P, Nzp)
-    coefs: np.ndarray    # (P, 5*MZ, Nzp) b|bd|bDh|bFh|beta, lane-replicated
+    ssaf: np.ndarray     # (Nxp, P, W)
+    coefs: np.ndarray    # (P, 5*MZ, 128) b|bd|bDh|bFh|beta lane tile
+    z0: int = 0          # first lane of the z-window (128-aligned)
 
     @property
     def MZ(self):
@@ -1145,14 +1151,24 @@ def partition_boundary_yplanes(bnl_ixyz, ssaf, mat_bnl, mat_coeffs,
     P = len(planes)
     MZ = -(-MMb // 8) * 8
     P8 = P if P <= 8 else -(-P // 8) * 8   # see z-plane ssaf note
-    ssaf_pl = np.zeros((Nxp, P8, Nzp), dtype)
+    # z-window: the union occupied lane span, 128-aligned (static slices
+    # in the kernels stay vreg-aligned); only offered when Nzp itself is
+    # lane-tiled so the upper clamp stays aligned
+    z0, W = 0, Nzp
+    if Nzp % 128 == 0 and sel.any():
+        zmin = int(iz[sel].min())
+        zmax = int(iz[sel].max())
+        z0 = zmin // 128 * 128
+        W = min(-(-(zmax + 1 - z0) // 128) * 128, Nzp - z0)
+    ssaf_pl = np.zeros((Nxp, P8, W), dtype)
     yp = np.zeros(P, np.int32)
     for p, (y, mat, m) in enumerate(planes):
         yp[p] = y
-        ssaf_pl[ix[m], p, iz[m]] = ssaf[m]
-    coefs = _plane_coefs(mat_coeffs, [m for _, m, _ in planes], MZ, Nzp,
+        ssaf_pl[ix[m], p, iz[m] - z0] = ssaf[m]
+    coefs = _plane_coefs(mat_coeffs, [m for _, m, _ in planes], MZ, W,
                          dtype)
-    return BoundaryYPlanes(P=P, yp=yp, ssaf=ssaf_pl, coefs=coefs), sel
+    return BoundaryYPlanes(P=P, yp=yp, ssaf=ssaf_pl, coefs=coefs,
+                           z0=z0), sel
 
 
 def partition_boundary_xplanes(bnl_ixyz, ssaf, mat_bnl, mat_coeffs,
@@ -1253,14 +1269,18 @@ class BoundaryStrays:
 
 
 def _stray_chunk_cost(counts, TS, RW, YW, ZW):
-    """Fitted per-step cost (us) of a chunking choice: fixed per-chunk
-    overhead (state DMA + 2 K-stacked matmul issues + loop) + the
-    exact-one-hot MAC time (the 3 bf16 mantissa planes stack on the
-    contraction axis, so flops are 3x the one-hot minimum but each
-    gather/scatter is a single MXU issue)."""
+    """Fitted per-step cost (us) of a chunking choice, per chunk:
+    matmul-issue overhead + state DMA (~0.8 ns/slot at the 335 GB/s
+    pallas plateau) + the exact-one-hot MXU MACs (gather K=3*WW stacked
+    + scatter K=3*TS: single issues each) + the (ZW, TS) VPU z-resolve
+    elementwise terms.  Recalibrated round 4: the VPU terms — not
+    hidden overhead — were the old model's unexplained 'fixed' cost
+    (MV: 5157 chunks at TS=512/RW=4/YW=32/ZW=128 predict 7.9 ms,
+    measured 7.5; the all-stray box sweep rankings reproduce)."""
     nch = int(np.ceil(counts / TS).sum())
     mac_us = 9.0 * TS * RW * YW * ZW / 197e6
-    return nch * (1.3 + mac_us)
+    vpu_us = 6.0 * ZW * TS / 1e6
+    return nch * (0.35 + 0.0008 * TS + mac_us + vpu_us)
 
 
 def _greedy_1d(gkey, coord, W, align, hi_clamp):

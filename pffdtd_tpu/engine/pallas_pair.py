@@ -294,6 +294,11 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
     xp_rows = [int(x) for x in xpl.xp] if PX else []
     MZ = zpl.MZ if PZ else (ypl.MZ if PY else (xpl.MZ if PX else 8))
     Nyw = zpl.ssaf.shape[2] if PZ else 128
+    # y-family z-window: the partition confines states/ssaf/ODE work to
+    # the 128-aligned union lane span [YZ0, YZ0 + WY) (exact: the ODE is
+    # an identity on the nodeless lanes outside it)
+    WY = ypl.ssaf.shape[2] if PY else 128
+    YZ0 = int(getattr(ypl, "z0", 0)) if PY else 0
     # ssaf plane dims may be 8-padded (identity planes) for DMA tiling
     PZ8 = zpl.ssaf.shape[1] if PZ else 0
     PY8 = ypl.ssaf.shape[1] if PY else 0
@@ -1414,17 +1419,18 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                 if "ode" in ABLATE or "odey" in ABLATE:
                     return
                 sa_all = ysf[sfslot]
+                ysl = slice(YZ0, YZ0 + WY)   # static z-window lanes
 
                 def yext(p):
-                    return outr[slot, :, yp_subl[p], :]     # (TX, Nzp)
+                    return outr[slot, :, yp_subl[p], ysl]   # (TX, WY)
 
                 def yins(p, val):
-                    outr[slot, :, yp_subl[p], :] = val
+                    outr[slot, :, yp_subl[p], ysl] = val
 
                 _batched_plane_stage(
                     PY, yp_subl, yext,
                     lambda p: prev_ref[pslot, pbase:pbase + TX,
-                                       yp_subl[p], :],
+                                       yp_subl[p], ysl],
                     yins, sa_all, yco[:, :, 0:1],
                     vin, gin, vout, gout,
                     uin if CARRY else None, uout if CARRY else None,
@@ -1706,12 +1712,12 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
             scratch["zui"] = pltpu.VMEM((1, 1), dtype)
             scratch["zuo"] = pltpu.VMEM((1, 1), dtype)
         if PY:
-            ys_ = (2, TX, PY, MZ, Nzp)
+            ys_ = (2, TX, PY, MZ, WY)
             scratch.update(
                 yvi=pltpu.VMEM(ys_, dtype), ygi=pltpu.VMEM(ys_, dtype),
                 yvo=pltpu.VMEM(ys_, dtype), ygo=pltpu.VMEM(ys_, dtype),
-                ysf=pltpu.VMEM((3, TX, PY8, Nzp), dtype),
-                yst=pltpu.VMEM((2, TX, PY8, Nzp), dtype),
+                ysf=pltpu.VMEM((3, TX, PY8, WY), dtype),
+                yst=pltpu.VMEM((2, TX, PY8, WY), dtype),
                 sem_yin=pltpu.SemaphoreType.DMA((2, 4)),
                 sem_yout=pltpu.SemaphoreType.DMA((2, 3)))
         else:
@@ -1720,8 +1726,8 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
             scratch["sem_yin"] = pltpu.SemaphoreType.DMA((1,))
             scratch["sem_yout"] = pltpu.SemaphoreType.DMA((1,))
         if PY and CARRY:
-            scratch["yui"] = pltpu.VMEM((3, TX, S2PY, Nzp), dtype)
-            scratch["yuo"] = pltpu.VMEM((2, TX, S2PY, Nzp), dtype)
+            scratch["yui"] = pltpu.VMEM((3, TX, S2PY, WY), dtype)
+            scratch["yuo"] = pltpu.VMEM((2, TX, S2PY, WY), dtype)
         else:
             scratch["yui"] = pltpu.VMEM((1, 1), dtype)
             scratch["yuo"] = pltpu.VMEM((1, 1), dtype)

@@ -144,6 +144,10 @@ def build_fused_tb(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
     xp_rows = [int(x) for x in xpl.xp] if PX else []
     MZ = zpl.MZ if PZ else (ypl.MZ if PY else (xpl.MZ if PX else 8))
     Nyw = zpl.ssaf.shape[2] if PZ else 128
+    # y-family z-window (see pallas_pair: confines ssaf/states/ODE work
+    # to the 128-aligned union lane span, exact on nodeless lanes)
+    WY = ypl.ssaf.shape[2] if PY else 128
+    YZ0 = int(getattr(ypl, "z0", 0)) if PY else 0
     # ssaf plane dims may be 8-padded (identity planes) for DMA tiling
     PZ8 = zpl.ssaf.shape[1] if PZ else 0
     PY8 = ypl.ssaf.shape[1] if PY else 0
@@ -788,17 +792,17 @@ def build_fused_tb(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                     return
                 sa_all = ysf[sfslot]
                 ob = pl.ds(obase, TX)
+                ysl = slice(YZ0, YZ0 + WY)   # static z-window lanes
 
                 def yext(p):
-                    return outr[ob, yp_subl[p], :]          # (TX, Nzp)
+                    return outr[ob, yp_subl[p], ysl]        # (TX, WY)
 
                 def yins(p, val):
-                    outr[ob, yp_subl[p], :] = val
+                    outr[ob, yp_subl[p], ysl] = val
 
                 _batched_plane_stage(
                     PY, yp_subl, yext,
-                    lambda p: read_prev(slice(0, TX), yp_subl[p],
-                                        slice(None)),
+                    lambda p: read_prev(slice(0, TX), yp_subl[p], ysl),
                     yins, sa_all, yco[:, :, 0:1], vin, gin, vout, gout,
                     ucin, rb, ucout, wb, yst)
 
@@ -1171,12 +1175,12 @@ def build_fused_tb(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
             scratch["sem_zout"] = pltpu.SemaphoreType.DMA((1,))
             scratch["sem_zsf"] = pltpu.SemaphoreType.DMA((1,))
         if PY:
-            ys_ = (2, TX, PY, MZ, Nzp)
+            ys_ = (2, TX, PY, MZ, WY)
             scratch.update(
                 yv=tuple(pltpu.VMEM(ys_, dtype) for _ in range(TB + 1)),
                 yg=tuple(pltpu.VMEM(ys_, dtype) for _ in range(TB + 1)),
-                ysf=pltpu.VMEM((RD, TX, PY8, Nzp), dtype),
-                yst=pltpu.VMEM((2, TX, PY8, Nzp), dtype),
+                ysf=pltpu.VMEM((RD, TX, PY8, WY), dtype),
+                yst=pltpu.VMEM((2, TX, PY8, WY), dtype),
                 sem_yin=pltpu.SemaphoreType.DMA((2, 3)),
                 sem_yout=pltpu.SemaphoreType.DMA((2, 2)),
                 sem_ysf=pltpu.SemaphoreType.DMA((RD,)))
@@ -1211,9 +1215,9 @@ def build_fused_tb(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
             for k in ("zui", "zuo", "zuc"):
                 scratch[k] = pltpu.VMEM((1, 1), dtype)
         if PY and CARRY:
-            scratch["yui"] = pltpu.VMEM((3, TX, S2PY, Nzp), dtype)
-            scratch["yuo"] = pltpu.VMEM((2, TX, S2PY, Nzp), dtype)
-            scratch["yuc"] = pltpu.VMEM((3, TX, NIY, Nzp) if NIY
+            scratch["yui"] = pltpu.VMEM((3, TX, S2PY, WY), dtype)
+            scratch["yuo"] = pltpu.VMEM((2, TX, S2PY, WY), dtype)
+            scratch["yuc"] = pltpu.VMEM((3, TX, NIY, WY) if NIY
                                         else (1, 1), dtype)
         else:
             for k in ("yui", "yuo", "yuc"):

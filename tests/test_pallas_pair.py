@@ -366,3 +366,53 @@ def test_pair_u2b_carry_source_on_plane_guard():
     if ys:
         assert not carry_ok(data.planes,
                             np.array([[5, next(iter(ys)), z_off]]))
+
+
+def _extend_z(sim, below, above):
+    """Embed the scene in a taller z grid (plain decoupled air lanes
+    below/above): the interior physics is unchanged, but the y-plane
+    node lanes now occupy a 128-aligned SUB-window of Nzp — exercising
+    the y-family z-window (BoundaryYPlanes.z0 > 0, W < Nzp)."""
+    from dataclasses import replace
+
+    from pffdtd_tpu.utils import ind2sub3d
+
+    vox, comms = sim.vox, sim.comms
+    Nx, Ny, Nz = vox.Nx, vox.Ny, vox.Nz
+    Nz2 = Nz + below + above
+
+    def remap(ixyz):
+        ix, iy, iz = ind2sub3d(np.asarray(ixyz), Nx, Ny, Nz)
+        return (ix * Ny + iy) * Nz2 + iz + below
+
+    from dataclasses import replace as _r
+    h = vox.h
+    zv2 = np.r_[vox.zv[0] - h * np.arange(below, 0, -1), vox.zv,
+                vox.zv[-1] + h * np.arange(1, above + 1)]
+    vox2 = _r(vox, Nz=Nz2, zv=zv2, bn_ixyz=remap(vox.bn_ixyz))
+    comms2 = _r(comms, in_ixyz=remap(comms.in_ixyz),
+                out_ixyz=remap(comms.out_ixyz))
+    return replace(sim, vox=vox2, comms=comms2)
+
+
+def test_pair_yplane_z_window(monkeypatch):
+    """y-plane states/ssaf/ODE confined to the 128-aligned union z-span:
+    with the scene embedded at lane offset 128 in a 256-lane grid the
+    partition must window (z0=128, W=128) and the kernel must still
+    match the XLA reference exactly."""
+    # count threshold: per-z rings (~114 nodes) stay out of the z family,
+    # floors (~600), y-walls (~480) and x-walls (~432) qualify — density
+    # can't split them here because extending Nzt dilutes the y-walls
+    monkeypatch.setenv("PFFDTD_ZPLANE_MIN_COUNT", "300")
+    monkeypatch.setenv("PFFDTD_ZPLANE_MIN_DENSITY", "0.0")
+    sim = synthetic_box_sim(2.5, 2.0, 1.6, h=0.1, Nt=30, lossy=True,
+                            insig_type="hann10", diff_source=False)
+    sim = _extend_z(sim, below=128, above=256 - 128 - sim.vox.Nz)
+    data = EngineData(sim.consts, sim.vox, sim.comms, sim.mats,
+                      dtype=np.float32, pad_z=128, tile_x=4)
+    data.attach_planes()   # edge/corner leftovers ride the stray pass
+    y = data.planes.y
+    assert y is not None and y.z0 == 128 and y.ssaf.shape[2] == 128, \
+        (y.z0, y.ssaf.shape)
+    assert data.grid.Nzp == 256
+    _compare(sim, tile_x=4)

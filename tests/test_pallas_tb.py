@@ -186,3 +186,25 @@ def test_tb_u2b_carry_bit_exact(monkeypatch):
     u4p = _run_tb_interpret(sim, 30, TB=4)
     assert np.abs(u3 - u3p).max() == 0.0
     assert np.abs(u4 - u4p).max() == 0.0
+
+
+def test_tb3_yplane_z_window(monkeypatch):
+    """y-family z-window on the deeper TB kernel: scene embedded at lane
+    offset 128 of a 256-lane grid, full plane coverage (no strays), must
+    match the XLA reference."""
+    from tests.test_pallas_pair import _extend_z
+
+    # rings (~86/z) stay out, x-walls (252), y-walls (480), floors (600)
+    # qualify: full axis-plane coverage with a windowed y family
+    monkeypatch.setenv("PFFDTD_ZPLANE_MIN_COUNT", "200")
+    monkeypatch.setenv("PFFDTD_ZPLANE_MIN_DENSITY", "0.0")
+    sim = synthetic_box_sim(2.5, 2.0, 1.6, h=0.1, Nt=30, lossy=True,
+                            insig_type="hann10", diff_source=False)
+    sim = _extend_z(sim, below=128, above=256 - 128 - sim.vox.Nz)
+    data = EngineData(sim.consts, sim.vox, sim.comms, sim.mats,
+                      dtype=np.float32, pad_z=128, tile_x=4)
+    assert data.attach_planes() == 0
+    y = data.planes.y
+    assert y is not None and y.z0 == 128 and y.ssaf.shape[2] == 128, \
+        (y.z0, y.ssaf.shape)
+    _compare(sim, TB=3)
