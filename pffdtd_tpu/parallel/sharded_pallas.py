@@ -732,3 +732,43 @@ class ShardedPairEngine:
                   f"{npts / 1e6:.2f} Mvox, {self.elapsed:.3f}s "
                   f"-> {self.mvps:.1f} MVPS")
         return self.u_out
+
+
+def make_sharded_engine(folder=None, *, consts=None, vox=None, comms=None,
+                        mats=None, mesh: Mesh | None = None,
+                        dtype=np.float32, interpret: bool = False,
+                        tile_x: int | None = None, verbose: bool = True):
+    """Route a scene to the fastest eligible multi-chip engine — the
+    multi-chip analogue of JaxEngine's single-chip auto-selection
+    (reference anchor: the multi-GPU dispatch, gpu_engine.h:368-412).
+
+    Tries the temporally-blocked ShardedPairEngine (two leapfrog steps
+    per HBM sweep, halved halo traffic) and falls back to the windowed
+    per-shard ShardedPallasEngine on its eligibility errors (off-plane
+    stray geometry, > 64 sources).  Grids whose interior rows do not
+    divide into the mesh are auto-padded with decoupled exterior air
+    (pad_x_interior: results unchanged — the multi-GPU reference
+    instead requires divisible splits)."""
+    if folder is not None:
+        sf = SimFolder(folder)
+        consts, vox, comms, mats = sf.consts, sf.vox, sf.comms, sf.mats
+    mesh = mesh if mesh is not None else make_mesh()
+    D = int(mesh.devices.size)
+    if (vox.Nx - 2) % D:
+        from dataclasses import replace as _replace
+
+        from pffdtd_tpu.prep import pad_x_interior
+        from pffdtd_tpu.scene_setup import SimData
+
+        sim = pad_x_interior(SimData(consts=consts, vox=vox, comms=comms,
+                                     mats=mats), D)
+        vox = sim.vox
+    kw = dict(consts=consts, vox=vox, comms=comms, mats=mats, mesh=mesh,
+              dtype=dtype, interpret=interpret, tile_x=tile_x)
+    try:
+        return ShardedPairEngine(**kw)
+    except ValueError as e:
+        if verbose:
+            print(f"--SHARDED: pair path ineligible ({e}); "
+                  "using the windowed per-shard engine")
+        return ShardedPallasEngine(**kw)

@@ -83,3 +83,43 @@ def test_sharded_pallas_stray_geometry():
     assert np.array_equal(outs[1], outs[4])
     scale = np.abs(jx.u_out).max()
     assert np.abs(outs[4] - jx.u_out[:, :30]).max() / scale < 2e-5
+
+
+def test_make_sharded_engine_routing():
+    """The multi-chip auto-selection: plane-coverable scenes route to the
+    temporally-blocked pair engine, stray geometry falls back to the
+    windowed per-shard engine, and non-divisible grids are auto-padded
+    with decoupled air (results unchanged)."""
+    import importlib.util
+
+    from pffdtd_tpu.parallel import (ShardedPairEngine, make_sharded_engine)
+
+    # rigid box, Nx - 2 NOT divisible by 4: auto-pad + pair engine
+    sim = synthetic_box_sim(2.5, 2.0, 1.6, h=0.1, Nt=20, lossy=False,
+                            insig_type="hann10", diff_source=False)
+    assert (sim.vox.Nx - 2) % 4
+    eng = make_sharded_engine(consts=sim.consts, vox=sim.vox,
+                              comms=sim.comms, mats=sim.mats,
+                              mesh=make_mesh(4), dtype=np.float32,
+                              interpret=True)
+    assert isinstance(eng, ShardedPairEngine)
+    jx = JaxEngine(consts=sim.consts, vox=sim.vox, comms=sim.comms,
+                   mats=sim.mats, dtype=np.float32, backend="xla")
+    jx.run(nt=20, verbose=False)
+    eng.run(nt=20, verbose=False)
+    scale = np.abs(jx.u_out).max()
+    assert np.abs(eng.u_out[:, :20] - jx.u_out[:, :20]).max() / scale < 2e-5
+
+    # sloped ceiling (stray nodes): falls back to the windowed engine
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", "__graft_entry__.py")
+    ge = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ge)
+    sim = ge._sloped_sim(Nt=16)
+    eng = make_sharded_engine(consts=sim.consts, vox=sim.vox,
+                              comms=sim.comms, mats=sim.mats,
+                              mesh=make_mesh(4), dtype=np.float32,
+                              interpret=True)
+    assert isinstance(eng, ShardedPallasEngine)
+    eng.run(nt=16, verbose=False)
+    assert np.isfinite(eng.u_out).all()
