@@ -38,8 +38,9 @@ print(f"load+rotate {time.perf_counter()-t0:.0f}s grid "
       flush=True)
 
 t0 = time.perf_counter()
+TILE_X = int(os.environ.get("TILE_X", "0")) or None
 eng = JaxEngine(consts=sim.consts, vox=sim.vox, comms=sim.comms,
-                mats=sim.mats, dtype=np.float32)
+                mats=sim.mats, dtype=np.float32, tile_x=TILE_X)
 print(f"backend {eng.backend} TX={eng.data.tile_x}", flush=True)
 st = getattr(eng.data, "strays", None)
 if st is not None:
