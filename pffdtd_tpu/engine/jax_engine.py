@@ -377,10 +377,12 @@ def build_step(data: EngineData, energy: bool = False,
     abc_regions = _abc_regions(g)
 
     if energy:
-        # raw DEF rows and constants for the energy functionals (fp64 math)
-        e_D = jnp.asarray(data.mat_rows_f64["D"].astype(dtype))
-        e_E = jnp.asarray(data.mat_rows_f64["E"].astype(dtype))
-        e_F = jnp.asarray(data.mat_rows_f64["F"].astype(dtype))
+        # raw DEF rows and constants for the energy functionals.  The
+        # grid-sized Q/V/absmask arrays MUST travel as jit args: closure-
+        # captured device arrays are inlined into the serialized HLO and
+        # the remote compiler rejects the request body at bench scale
+        # (HTTP 413 — the exact failure BENCH_r04 recorded on the
+        # energy_on=True path).
         V_fac = dtype.type(2.0 if data.fcc else 1.0)
         e_h = dtype.type(data.consts.h)
         e_c = dtype.type(data.consts.c)
@@ -388,9 +390,14 @@ def build_step(data: EngineData, energy: bool = False,
         Qg = abc_q_grid(g.Nx, g.Ny, g.Nz, folded_y=g.folded)
         Qg = np.pad(Qg, ((0, g.Nxp - g.Nx), (0, g.Nyp - g.Ny),
                          (0, g.Nzp - g.Nz)))
-        e_Q = jnp.asarray(Qg.astype(dtype))
-        e_V = jnp.asarray((2.0 ** -Qg.astype(np.float64)).astype(dtype))
-        e_absmask = jnp.asarray((Qg > 0).astype(dtype))
+        consts.update({
+            "e_D": data.mat_rows_f64["D"].astype(dtype),
+            "e_E": data.mat_rows_f64["E"].astype(dtype),
+            "e_F": data.mat_rows_f64["F"].astype(dtype),
+            "e_Q": Qg.astype(dtype),
+            "e_V": (2.0 ** -Qg.astype(np.float64)).astype(dtype),
+            "e_absmask": (Qg > 0).astype(dtype),
+        })
 
     if rigid == "dense":
         consts["adj_grid"] = data.adj_grid
@@ -700,12 +707,12 @@ def build_step(data: EngineData, energy: bool = False,
         du = (u1 - u0)[interior]
         core = du * du / l2 - (u1 * Lu_prev)[interior]
         H = V_fac * 0.5 * e_h * jnp.sum(core)
-        corr = (1.0 - e_V) * ((u1 - u0) ** 2 / l2 - u1 * Lu_prev) * e_absmask
+        corr = (1.0 - C["e_V"]) * ((u1 - u0) ** 2 / l2 - u1 * Lu_prev) * C["e_absmask"]
         H = H - V_fac * 0.5 * e_h * jnp.sum(corr)
         if data.Nbl:
             H = H + V_fac * 0.5 * e_c / l2 * jnp.sum(
-                C["ssaf"][:, None] * (vh1 ** 2 * e_D
-                                      + (e_Ts * gh1) ** 2 * e_F))
+                C["ssaf"][:, None] * (vh1 ** 2 * C["e_D"]
+                                      + (e_Ts * gh1) ** 2 * C["e_F"]))
         u2in = u0.reshape(-1)[C["in_ixyz"]]
 
         unew, u1f, vh0, gh_new, out_n = _step_core(
@@ -726,9 +733,9 @@ def build_step(data: EngineData, energy: bool = False,
         # --- losses and input energy
         if data.Nbl:
             E_lost = E_lost + V_fac * 0.25 * e_h / l * jnp.sum(
-                C["ssaf"][:, None] * ((vh0 + vh1) ** 2 * e_E))
+                C["ssaf"][:, None] * ((vh0 + vh1) ** 2 * C["e_E"]))
         E_lost = E_lost + 0.5 * V_fac * e_h / l * jnp.sum(
-            (e_V * e_Q) * (unew - u0) ** 2 * e_absmask)
+            (C["e_V"] * C["e_Q"]) * (unew - u0) ** 2 * C["e_absmask"])
         E_in = E_in + (V_fac * e_h / l2) * 0.5 * jnp.sum(
             (unew.reshape(-1)[C["in_ixyz"]] - u2in) * sig_n.astype(dtype))
 
