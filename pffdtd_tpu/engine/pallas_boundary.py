@@ -1314,13 +1314,15 @@ def partition_boundary_strays(bnl_ixyz, ssaf, mat_bnl, mat_coeffs,
                               grid_shape, TX: int, nxt: int,
                               dtype=np.float32,
                               ts: int | None = None, yw: int | None = None,
-                              rw: int | None = None) -> BoundaryStrays:
+                              rw: int | None = None,
+                              zw: int | None = None) -> BoundaryStrays:
     """Pack stray nodes into per-tile window chunks for the in-pair pass.
 
     bnl_ixyz must be the PADDED-layout flat indices of the stray subset.
-    nxt: the pair kernel's tile count ceil((Nx-2)/TX).  (TS, RW, YW) are
-    chosen by the cost model unless pinned via arguments /
-    PFFDTD_STRAY_{TS,YW,RW} env knobs."""
+    nxt: the pair kernel's tile count ceil((Nx-2)/TX).  (TS, RW, YW, ZW)
+    are chosen by the cost model unless pinned via arguments /
+    PFFDTD_STRAY_{TS,YW,RW,ZW} env knobs (the sharded engine pins all
+    four so every shard's kernel shares one static kernel shape)."""
     Nxp, Nyp, Nzp = grid_shape
     bnl_ixyz = np.asarray(bnl_ixyz)
     N = bnl_ixyz.size
@@ -1336,7 +1338,7 @@ def partition_boundary_strays(bnl_ixyz, ssaf, mat_bnl, mat_coeffs,
     ts = ts or int(os.environ.get("PFFDTD_STRAY_TS", "0"))
     yw = yw or int(os.environ.get("PFFDTD_STRAY_YW", "0"))
     rw = rw or int(os.environ.get("PFFDTD_STRAY_RW", "0"))
-    zw_env = int(os.environ.get("PFFDTD_STRAY_ZW", "0"))
+    zw_env = zw or int(os.environ.get("PFFDTD_STRAY_ZW", "0"))
 
     def _wins(RW, YW, ZW):
         """Greedy per-tile window assignment (z intervals first, y
@@ -1439,6 +1441,33 @@ def partition_boundary_strays(bnl_ixyz, ssaf, mat_bnl, mat_coeffs,
                           maxc=maxc, SEG=SEG, nd=nd, soff=soff, sr0=sr0,
                           sy0=sy0, sz0=sz0, tableT=tableT, n_mats=Nm + 1,
                           node_slot=node_slot)
+
+
+def pad_strays(st: BoundaryStrays, n_chunks: int,
+               maxc: int) -> BoundaryStrays:
+    """Pad a stray partition to fleet-max static shapes (sharded SPMD:
+    one kernel serves every shard, so chunk-array extents and the static
+    chunk-loop bound must match across shards).
+
+    Padding chunks are appended AFTER the real ones and never enter any
+    tile's [soff[t], soff[t+1]) range — they are simply never processed;
+    their nd rows keep the rigid-column template (valid = 0)."""
+    from dataclasses import replace
+
+    assert n_chunks >= st.n_chunks and maxc >= st.maxc
+    if n_chunks == st.n_chunks and maxc == st.maxc:
+        return st
+    nd = np.zeros((n_chunks + st.SEG, 8, st.TS), np.float32)
+    nd[:, 2, :] = st.n_mats - 1          # rigid (zero) material column
+    nd[:st.n_chunks] = st.nd[:st.n_chunks]
+
+    def _pad1(a):
+        out = np.zeros(n_chunks, a.dtype)
+        out[:st.n_chunks] = a
+        return out
+
+    return replace(st, n_chunks=n_chunks, maxc=maxc, nd=nd,
+                   sr0=_pad1(st.sr0), sy0=_pad1(st.sy0), sz0=_pad1(st.sz0))
 
 
 def partition_boundary_planes(bnl_ixyz, ssaf, mat_bnl, mat_coeffs,

@@ -334,7 +334,10 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
     st = strays
     NST = st is not None and int(st.soff[-1]) > 0
     if NST:
-        assert not SHARDED, "stray fusion is single-device only"
+        # SHARDED + strays: the engine partitions chunks per shard with
+        # fleet-uniform static shapes; nodes on duplicated overlap rows
+        # go to BOTH owners and the owner's post-pair state is grafted
+        # over the duplicate's (see ShardedPairEngine)
         assert not NOFULL, \
             "stray fusion needs the masked bulk (off-plane masked values)"
         from pffdtd_tpu.io.h5 import MMb as S_MMB

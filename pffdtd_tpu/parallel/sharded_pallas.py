@@ -340,11 +340,22 @@ class ShardedPairEngine:
     TWO steps equals the single-step engine's per ONE step — temporal
     blocking halves both HBM and ICI bytes.
 
-    Requirements (else use ShardedPallasEngine): every lossy node on an
-    axis-normal impedance plane (n_stray == 0), (Nx-2) % D == 0, and
+    Requirements (else use ShardedPallasEngine): (Nx-2) % D == 0 and
     <= 64 sources.  x-normal planes are supported via RUNTIME plane rows
     (one fleet-max set per shard, SMEM-indexed so the SPMD program stays
     shard-uniform) unless a plane lands on a duplicated overlap row.
+
+    ARBITRARY geometry (off-plane stray lossy nodes) runs the pair
+    kernel's in-kernel packed stray pass per shard: chunks are
+    partitioned on each shard's LOCAL rows with fleet-uniform static
+    shapes (one TS/RW/YW/ZW choice, chunk arrays padded to the fleet
+    max).  Strays on duplicated overlap rows (global m*S and m*S+1,
+    computed by two shards) go to BOTH shards so the shared edge u2
+    stays consistent; the duplicate's stage-2 state advance reads the
+    garbage edge u3, so after every pair call the owner's state slots
+    ppermute over the duplicate's (compact per-node gather -> ICI ->
+    scatter).  The reference handles the same rows with per-step peer
+    copies in its slab split (gpu_engine.h:516-662).
     Reference anchor: the multi-GPU pair of kernels + per-step peer halo
     copies this replaces: gpu_engine.h:964-1126.
     """
@@ -375,15 +386,26 @@ class ShardedPairEngine:
             raise ValueError(
                 f"{len(self.data.in_ixyz)} sources exceed the pair "
                 "kernel's supported 64; use ShardedPallasEngine")
+        import os as _os
+
         d = self.data
         g = d.grid
         D = self.D
         if (g.Nx - 2) % D:
             raise ValueError(f"interior rows {g.Nx - 2} not divisible by "
                              f"{D} shards; pad the grid")
-        if d.attach_planes() != 0:
-            raise ValueError("pair kernel requires full axis-plane "
-                             "boundary coverage (n_stray == 0)")
+        n_stray = d.attach_planes()
+        use_strays = (n_stray > 0
+                      and _os.environ.get("PFFDTD_STRAYS", "1") != "0")
+        if use_strays and d.planes.x is not None \
+                and _os.environ.get("PFFDTD_DEMOTE_X", "1") != "0":
+            # dense x rows ride the segmented stray pipeline far cheaper
+            # than the inline-wait x-plane pass when the scene already
+            # pays for the stray pass (jax_engine auto-path ditto)
+            n_stray = d.attach_planes(demote_x=True)
+        if n_stray and not use_strays:
+            raise ValueError("stray lossy nodes with PFFDTD_STRAYS=0: "
+                             "pair kernel needs full axis-plane coverage")
         planes = d.planes
         S = (g.Nx - 2) // D
         self.S = S
@@ -520,9 +542,111 @@ class ShardedPairEngine:
                 planes_build = BoundaryPlanes(z=planes.z, y=planes.y,
                                               x=xp_fleet, n_stray=0)
 
+        # ---- stray nodes: per-shard partitions with fleet-uniform shapes
+        row = g.Nyp * g.Nzp
+        self._strays_build = None
+        self._sgraft = None
+        if n_stray:
+            from pffdtd_tpu.engine.pallas_boundary import (
+                pad_strays, partition_boundary_strays)
+
+            NXT = -(-(S + 2) // TX)      # == build_fused_pair's local NXT
+            si = planes.stray_idx
+            six = np.asarray(d.bnl_ixyz)[si]
+            ssa = np.asarray(d.ssaf_bnl)[si]
+            smt = np.asarray(d.mat_bnl)[si]
+            gxs = six // row
+            rems = six - gxs * row
+
+            def _nodes_for(k):
+                # shard k's stray set = strays on its computed local rows
+                # 1..S+2 (global x0[k]+1 .. x0[k]+S+2): real rows PLUS
+                # both duplicated overlap-edge rows
+                m = (gxs >= x0[k] + 1) & (gxs <= x0[k] + S + 2)
+                return np.where(m)[0]
+
+            members = [_nodes_for(k) for k in range(D)]
+            kbig = int(np.argmax([m.size for m in members]))
+
+            def _part(k, **pin):
+                idx = members[k]
+                loc = (gxs[idx] - x0[k]) * row + rems[idx]
+                # rw=1: single-row windows.  The stage-2 edge u3 rows
+                # (local 1 / S+2) are garbage by design; an RW=TX window
+                # would mix them into REAL nodes' one-hot gathers (exact
+                # 0 * stale-finite on hardware, but 0 * NaN = NaN under
+                # interpret's NaN fill), and confining each window to one
+                # row keeps every real node's math bit-identical to D=1
+                return partition_boundary_strays(
+                    loc, ssa[idx], smt[idx], d.mc,
+                    (Nxp_loc, g.Nyp, g.Nzp), TX, NXT, dtype=d.dtype,
+                    rw=1, **pin)
+
+            tmpl = _part(kbig)           # fleet (TS, YW, ZW) choice
+            pin = dict(ts=tmpl.TS, yw=tmpl.YW, zw=tmpl.ZW)
+            parts = [tmpl if k == kbig else _part(k, **pin)
+                     for k in range(D)]
+            NCH = max(p.n_chunks for p in parts)
+            MAXC = max(p.maxc for p in parts)
+            parts = [pad_strays(p, NCH, MAXC) for p in parts]
+            self._strays_build = parts[kbig]
+            # flattened leading dims: shard_map slices dim 0 by D, so each
+            # shard sees exactly the single-device shapes fused() expects
+            self._pconsts["s_nd"] = np.concatenate([p.nd for p in parts])
+            self._pconsts["s_soff"] = np.concatenate(
+                [p.soff for p in parts])
+            self._pconsts["s_sr0"] = np.concatenate([p.sr0 for p in parts])
+            self._pconsts["s_sy0"] = np.concatenate([p.sy0 for p in parts])
+            self._pconsts["s_sz0"] = np.concatenate([p.sz0 for p in parts])
+            self._s_tab = tmpl.tableT.astype(d.dtype)   # global (one mat set)
+            self._state_shapes["s"] = (
+                (D * (NCH + tmpl.SEG),) + tuple(tmpl.state_shape()[1:]))
+
+            # ---- overlap-row duplicate state grafts (fleet-max padded
+            # slot lists; padding points at the never-read pad chunk NCH)
+            TS = tmpl.TS
+            PAD_SLOT = NCH * TS
+            slot_of = [dict(zip(members[k],
+                                np.asarray(parts[k].node_slot)))
+                       for k in range(D)]
+
+            def _slots(crit_gx):
+                """(D, NG) send/recv slot arrays for one dup criterion:
+                crit_gx(k) -> the global x whose nodes shard k holds."""
+                lists = []
+                for k in range(D):
+                    cg = crit_gx(k)
+                    ids = (np.sort(np.where(gxs == cg)[0])
+                           if cg is not None else np.zeros(0, np.int64))
+                    lists.append([int(slot_of[k][i]) for i in ids])
+                ng = max((len(li) for li in lists), default=0)
+                if ng == 0:
+                    return None
+                out = np.full((D, ng), PAD_SLOT, np.int64)
+                for k, li in enumerate(lists):
+                    out[k, :len(li)] = li
+                return out
+
+            # left-edge dups on shard k (global kS, k>=1) receive from
+            # the owner k-1 (its real row S+1) over fwd; right-edge dups
+            # (global (k+1)S+1, k<=D-2) receive from owner k+1 over bwd.
+            # Sender and receiver lists sort by global node id, so slot
+            # j on both sides names the SAME node.
+            snd_r = _slots(lambda k: (k + 1) * S if k < D - 1 else None)
+            rcv_l = _slots(lambda k: k * S if k > 0 else None)
+            snd_l = _slots(lambda k: k * S + 1 if k > 0 else None)
+            rcv_r = _slots(lambda k: (k + 1) * S + 1 if k < D - 1 else None)
+            if D > 1 and (snd_r is not None or snd_l is not None):
+                self._sgraft = {}
+                if snd_r is not None:
+                    assert rcv_l is not None and rcv_l.shape == snd_r.shape
+                    self._sgraft["fwd"] = (snd_r, rcv_l)
+                if snd_l is not None:
+                    assert rcv_r is not None and rcv_r.shape == snd_l.shape
+                    self._sgraft["bwd"] = (snd_l, rcv_r)
+
         # sources: per-shard LOCAL coordinates (the tile-range check in the
         # kernel implements ownership, including the duplicated edge rows)
-        row = g.Nyp * g.Nzp
         ii = np.asarray(d.in_ixyz)
         gx = ii // row
         gy = (ii // g.Nzp) % g.Nyp
@@ -555,7 +679,7 @@ class ShardedPairEngine:
             self.g_loc, d.sc, d.fcc, dtype=jnp.float32 if d.dtype ==
             np.float32 else jnp.float64, TX=TX, interpret=interpret,
             in_pts=np.stack([gx, gy, gz], 1), planes=planes_build,
-            shard=(S, g.Nx))
+            strays=self._strays_build, shard=(S, g.Nx))
         self._build()
 
     def _build(self):
@@ -570,11 +694,25 @@ class ShardedPairEngine:
         bwd = [(i + 1, i) for i in range(D - 1)]
         mesh = self.mesh
 
+        has_strays = self._strays_build is not None
+        sgraft = self._sgraft
+        s_TS = self._strays_build.TS if has_strays else 0
+
+        def _slot_gather(arr, slots):
+            """arr (C, M, T), slots (NG,) flat chunk*TS+lane -> (NG, M)."""
+            return arr[slots // s_TS, :, slots % s_TS]
+
+        def _slot_scatter(arr, slots, vals):
+            return arr.at[slots // s_TS, :, slots % s_TS].set(vals)
+
         def shard_fn(u0, u1, vh, gh, out_prev, sigs_T, C):
             scal = C["scal"][0]
             ipts = C["ipts"][0]
             xpr = C["xpr"][0] if "xpr" in C else None
             pconsts = {f: (C[f"{f}ssaf"], C[f"{f}coefs"]) for f in fams}
+            if has_strays:
+                pconsts["s"] = (C["s_nd"], C["s_tab"], C["s_soff"],
+                                C["s_sr0"], C["s_sy0"], C["s_sz0"])
             zy = [f for f in fams if f != "x"]
 
             def step(carry, sig2):
@@ -587,6 +725,8 @@ class ShardedPairEngine:
                     u1 = u1.at[0:2].set(from_left)
                     u1 = u1.at[S + 2:S + 4].set(from_right)
                 states = {f: (vh1[f], gh1[f]) for f in fams}
+                if has_strays:
+                    states["s"] = (vh1["s"], gh1["s"])
                 u3, u2, ns = fusedp(u1, u0, C["adj"], sig2, states,
                                     pconsts, scal=scal, ipts=ipts,
                                     xpr=xpr)
@@ -628,6 +768,30 @@ class ShardedPairEngine:
                             vhx = graft(vhx, bwd, sel)
                             ghx = graft(ghx, bwd, sel)
                         ns["x"] = (vhx, ghx)
+                if sgraft is not None:
+                    # duplicated overlap-row STRAY nodes: the owner's
+                    # post-pair state slots replace the duplicate's
+                    # (whose stage-2 advance read the garbage edge u3).
+                    # Compact per-node traffic: gather the owner's slots,
+                    # ppermute the (NG, MZS) sheet, scatter into the
+                    # duplicate's slots (padding slots point at the
+                    # never-read pad chunk, so no masking is needed)
+                    ns = dict(ns)
+                    svh, sgh = ns["s"]
+                    for key, perm in (("fwd", fwd), ("bwd", bwd)):
+                        if key not in sgraft:
+                            continue
+                        snd = C[f"sg_snd_{key}"][0]
+                        rcv = C[f"sg_rcv_{key}"][0]
+                        for a_i, arr in enumerate((svh, sgh)):
+                            vals = jax.lax.ppermute(
+                                _slot_gather(arr, snd), "x", perm)
+                            arr = _slot_scatter(arr, rcv, vals)
+                            if a_i == 0:
+                                svh = arr
+                            else:
+                                sgh = arr
+                    ns["s"] = (svh, sgh)
                 if self._out_xyz.shape[1] <= MAX_TAPS:
                     # flat-index gather on the grid-sized u2/u3 inserts
                     # full-grid layout copies per step (19 vs 103 GVPS on
@@ -645,19 +809,22 @@ class ShardedPairEngine:
                     out_c = jax.lax.psum(
                         u3.reshape(-1)[C["out_loc"][0]] * C["out_mask"][0],
                         "x")
-                vh0 = {f: ns[f][0] for f in fams}
-                gh0 = {f: ns[f][1] for f in fams}
+                vh0 = {f: s[0] for f, s in ns.items()}
+                gh0 = {f: s[1] for f, s in ns.items()}
                 return ((u2, u3, vh0, gh0, out_c),
                         jnp.stack([out_prev, out_b]))
 
             n = sigs_T.shape[0]
             pairs = sigs_T.reshape(n // 2, 2, -1)
+            sf = fams + (["s"] if has_strays else [])
             carry, ys = jax.lax.scan(
-                step, (u0, u1, {f: vh[f] for f in fams},
-                       {f: gh[f] for f in fams}, out_prev), pairs)
+                step, (u0, u1, {f: vh[f] for f in sf},
+                       {f: gh[f] for f in sf}, out_prev), pairs)
             return carry, ys.reshape(n, -1)
 
         st_spec = {f: P("x") for f in fams}
+        if has_strays:
+            st_spec = {**st_spec, "s": P("x")}
         specs = {
             "adj": P("x"), "scal": P("x"), "ipts": P("x"),
             "out_loc": P("x"), "out_mask": P("x"), "out_xyz": P("x"),
@@ -671,6 +838,13 @@ class ShardedPairEngine:
             specs[f + "ssaf"] = P("x")
             # x-plane materials differ per shard; z/y coefs are global
             specs[f + "coefs"] = P("x") if f == "x" else P()
+        if has_strays:
+            for k in ("s_nd", "s_soff", "s_sr0", "s_sy0", "s_sz0"):
+                specs[k] = P("x")
+            specs["s_tab"] = P()        # one global material table
+            for key in sgraft or {}:
+                specs[f"sg_snd_{key}"] = P("x")
+                specs[f"sg_rcv_{key}"] = P("x")
         fn = jax.shard_map(
             shard_fn, mesh=mesh,
             in_specs=(P("x"), P("x"), st_spec, st_spec, P(), P(), specs),
@@ -688,6 +862,11 @@ class ShardedPairEngine:
             C["xpr"] = self._xpr
         if self._xdup is not None:
             C["xdup_l"], C["xdup_r"] = self._xdup
+        if has_strays:
+            C["s_tab"] = self._s_tab
+            for key, (snd, rcv) in (sgraft or {}).items():
+                C[f"sg_snd_{key}"] = snd
+                C[f"sg_rcv_{key}"] = rcv
         C.update(self._pconsts)
         self._C = jax.tree.map(
             lambda a, s: jax.device_put(jnp.asarray(a),
@@ -711,10 +890,10 @@ class ShardedPairEngine:
         shape = (D * self.Nxp_loc, g.Nyp, g.Nzp)
         u0 = jax.device_put(jnp.zeros(shape, d.dtype), sh)
         u1 = jax.device_put(jnp.zeros(shape, d.dtype), sh)
-        vh = {f: jax.device_put(jnp.zeros(self._state_shapes[f], d.dtype),
-                                sh) for f in self._fams}
-        gh = {f: jax.device_put(jnp.zeros(self._state_shapes[f], d.dtype),
-                                sh) for f in self._fams}
+        vh = {f: jax.device_put(jnp.zeros(s, d.dtype), sh)
+              for f, s in self._state_shapes.items()}
+        gh = {f: jax.device_put(jnp.zeros(s, d.dtype), sh)
+              for f, s in self._state_shapes.items()}
         out0 = jnp.zeros(len(d.out_ixyz), d.dtype)
 
         t0 = time.perf_counter()

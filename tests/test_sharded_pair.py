@@ -114,3 +114,48 @@ def test_sharded_pair_lossy_x_planes_fcc(monkeypatch):
     sim = _pad_divisible(sim, D=4)
     _compare(sim, tol=1e-4, Ds=(1, 2))
     _compare(sim, tol=1e-4, Ds=(1, 4))
+
+
+def _sloped():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", "__graft_entry__.py")
+    ge = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ge)
+    return ge._sloped_sim(Nt=30)
+
+
+def test_sharded_pair_strays():
+    """Arbitrary geometry on the multi-chip fast path (round-4 VERDICT
+    item 5): the raked ceiling staircases into off-plane stray nodes;
+    per-shard packed chunks + the overlap-row duplicate state graft must
+    agree bitwise across shard counts and match the XLA oracle."""
+    sim = _pad_divisible(_sloped())
+    from pffdtd_tpu.parallel.sharded_pallas import ShardedPairEngine
+
+    eng = ShardedPairEngine(consts=sim.consts, vox=sim.vox,
+                            comms=sim.comms, mats=sim.mats,
+                            mesh=make_mesh(4), dtype=np.float32,
+                            interpret=True)
+    assert eng._strays_build is not None, "scene lost its stray nodes"
+    _compare(sim, tol=1e-4)
+
+
+def test_sharded_pair_strays_overlap_rows(monkeypatch):
+    """Force stray nodes ONTO the duplicated shard-overlap rows: a lossy
+    x-wall demoted to strays lands whole rows of nodes on global m*S and
+    m*S+1 for some shard split, exercising the send/recv slot graft."""
+    monkeypatch.setenv("PFFDTD_ZPLANE_MIN_COUNT", "1")
+    monkeypatch.setenv("PFFDTD_ZPLANE_MIN_DENSITY", "0.3")
+    sim = _pad_divisible(_sloped(), D=4)
+    from pffdtd_tpu.parallel.sharded_pallas import ShardedPairEngine
+
+    eng = ShardedPairEngine(consts=sim.consts, vox=sim.vox,
+                            comms=sim.comms, mats=sim.mats,
+                            mesh=make_mesh(4), dtype=np.float32,
+                            interpret=True)
+    # the graft machinery must actually be engaged for this scene at D=4
+    assert eng._strays_build is not None
+    _compare(sim, tol=1e-4, Ds=(1, 2))
+    _compare(sim, tol=1e-4, Ds=(1, 4))

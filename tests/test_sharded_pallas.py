@@ -110,7 +110,9 @@ def test_make_sharded_engine_routing():
     scale = np.abs(jx.u_out).max()
     assert np.abs(eng.u_out[:, :20] - jx.u_out[:, :20]).max() / scale < 2e-5
 
-    # sloped ceiling (stray nodes): falls back to the windowed engine
+    # sloped ceiling (stray nodes): now ALSO the pair fast path (the
+    # in-kernel stray pass is sharded since round 5); PFFDTD_STRAYS=0
+    # still falls back to the windowed engine
     spec = importlib.util.spec_from_file_location(
         "graft_entry", "__graft_entry__.py")
     ge = importlib.util.module_from_spec(spec)
@@ -120,6 +122,18 @@ def test_make_sharded_engine_routing():
                               comms=sim.comms, mats=sim.mats,
                               mesh=make_mesh(4), dtype=np.float32,
                               interpret=True)
-    assert isinstance(eng, ShardedPallasEngine)
+    assert isinstance(eng, ShardedPairEngine)
     eng.run(nt=16, verbose=False)
     assert np.isfinite(eng.u_out).all()
+
+    import os
+
+    os.environ["PFFDTD_STRAYS"] = "0"
+    try:
+        eng = make_sharded_engine(consts=sim.consts, vox=sim.vox,
+                                  comms=sim.comms, mats=sim.mats,
+                                  mesh=make_mesh(4), dtype=np.float32,
+                                  interpret=True)
+        assert isinstance(eng, ShardedPallasEngine)
+    finally:
+        os.environ.pop("PFFDTD_STRAYS", None)
