@@ -481,6 +481,8 @@ def build_step(data: EngineData, energy: bool = False,
                                       TX=data.tile_x or 8,
                                       interpret=interpret,
                                       in_pts=in_pts, planes=planes,
+                                      lookahead=getattr(data, "lookahead",
+                                                        1),
                                       adj_planes=apl, strays=strays,
                                       u2b_carry=ucarry)
         if apl is not None:
@@ -940,6 +942,35 @@ class JaxEngine:
                             data.tb = want[0]
                         if backend in ("pallas_pair", "pallas_tb"):
                             data.u2b_carry = uc_
+                        if backend == "pallas_pair":
+                            # input-DMA lookahead LA=2 is implemented
+                            # (one more u0b/state slot, 4-deep
+                            # slab/adj/sf rings) and bit-exact, but
+                            # measured FLAT on the real hall (26.1 vs
+                            # 26.0 ms/step): the per-tile stall is not
+                            # input-DMA-bound.  Default off; opt in
+                            # with PFFDTD_PAIR_LA=2 (VMEM permitting —
+                            # the auto-fit check below guards TX)
+                            la_env = _os.environ.get("PFFDTD_PAIR_LA", "")
+                            la = int(la_env) if la_env else 1
+                            if la > 1:
+                                from pffdtd_tpu.engine.pallas_pair import \
+                                    lookahead_bytes_per_row
+
+                                sb_la = (_sb(2)
+                                         + (carry_bytes_per_row(
+                                             data.planes) if uc_ else 0)
+                                         + lookahead_bytes_per_row(
+                                             data.planes, carry=uc_))
+                                if tp != pick_tile_pair(
+                                        Nyp, Nzp,
+                                        adj_bytes=0 if nofull else adjb,
+                                        state_bytes=sb_la, lookahead=la):
+                                    print("--ENGINE(jax): PFFDTD_PAIR_LA"
+                                          f"={la} would shrink TX={tp}; "
+                                          "keeping LA=1")
+                                    la = 1
+                            data.lookahead = la
                         if use_strays:
                             data.attach_strays()   # after the final TX
                         tile_x = tp

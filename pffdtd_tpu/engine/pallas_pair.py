@@ -211,6 +211,7 @@ def carry_ok(planes, in_pts) -> bool:
 
 def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                      interpret: bool = False, in_pts=None, planes=None,
+                     lookahead: int = 1,
                      adj_planes: AdjPlanes | None = None,
                      shard: tuple[int, int] | None = None,
                      strays=None, u2b_carry: bool = False):
@@ -352,6 +353,22 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
         assert S_RW in (1, TX) and S_YW % 8 == 0 and S_TS % 128 == 0
         assert S_ZFULL or S_ZW % 128 == 0
 
+    # input-DMA lookahead: tiles of input in flight beyond the one being
+    # computed.  LA=1 is the historical single-tile lookahead; LA=2 keeps
+    # a second tile's inputs in flight (the round-5 DMA probes measured
+    # reads at 438 GB/s with 2 outstanding copies vs 540 with 4 — the
+    # wait_in(t) stall right after start_in(t+1) is the bulk's gap to the
+    # ~555 GB/s chip ceiling).  Costs one more u0b/zvi/zgi/yvi/ygi slot;
+    # the engine enables it only when VMEM affords it without shrinking
+    # TX.  Output rings and the stage-2 pipeline are untouched: the
+    # aliased u2/u0 (u3/u1) HBM rows stay disjoint because reads lead
+    # writes by >= 2 tiles.
+    LA = max(1, min(int(lookahead), 2))
+    U0D = 1 + LA              # u0b / plane-state input ring depth
+    # slab/adj/ssaf/carry input rings are read by stage 2 of tile t-1
+    # while tile t+LA's DMA lands: live range [t-1, t+LA] = LA+2 slots
+    SLD = 2 + LA
+
     cfull = npdt(two - sl2 * npdt(NN))
     # PFFDTD_ABLATE: comma list of kernel pieces to SKIP (perf debugging
     # only - results are numerically wrong): abc, ode, flips, rolls, fixup
@@ -426,16 +443,19 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                 rs = t * TX + 1
                 cps = [
                     pltpu.make_async_copy(zvh_h.at[pl.ds(rs, TX)],
-                                          zvi.at[t % 2], sem_zin.at[t % 2, 0]),
+                                          zvi.at[t % U0D],
+                                          sem_zin.at[t % U0D, 0]),
                     pltpu.make_async_copy(zgh_h.at[pl.ds(rs, TX)],
-                                          zgi.at[t % 2], sem_zin.at[t % 2, 1]),
+                                          zgi.at[t % U0D],
+                                          sem_zin.at[t % U0D, 1]),
                     pltpu.make_async_copy(zsf_h.at[pl.ds(rs, TX)],
-                                          zsf.at[t % 3], sem_zin.at[t % 2, 2]),
+                                          zsf.at[t % SLD],
+                                          sem_zin.at[t % U0D, 2]),
                 ]
                 if CARRY:
                     cps.append(pltpu.make_async_copy(
-                        zub_h.at[pl.ds(rs, TX)], zui.at[t % 3],
-                        sem_zin.at[t % 2, 3]))
+                        zub_h.at[pl.ds(rs, TX)], zui.at[t % SLD],
+                        sem_zin.at[t % U0D, 3]))
                 return cps
 
             def z_out(tt):
@@ -458,16 +478,19 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                 rs = t * TX + 1
                 cps = [
                     pltpu.make_async_copy(yvh_h.at[pl.ds(rs, TX)],
-                                          yvi.at[t % 2], sem_yin.at[t % 2, 0]),
+                                          yvi.at[t % U0D],
+                                          sem_yin.at[t % U0D, 0]),
                     pltpu.make_async_copy(ygh_h.at[pl.ds(rs, TX)],
-                                          ygi.at[t % 2], sem_yin.at[t % 2, 1]),
+                                          ygi.at[t % U0D],
+                                          sem_yin.at[t % U0D, 1]),
                     pltpu.make_async_copy(ysf_h.at[pl.ds(rs, TX)],
-                                          ysf.at[t % 3], sem_yin.at[t % 2, 2]),
+                                          ysf.at[t % SLD],
+                                          sem_yin.at[t % U0D, 2]),
                 ]
                 if CARRY:
                     cps.append(pltpu.make_async_copy(
-                        yub_h.at[pl.ds(rs, TX)], yui.at[t % 3],
-                        sem_yin.at[t % 2, 3]))
+                        yub_h.at[pl.ds(rs, TX)], yui.at[t % SLD],
+                        sem_yin.at[t % U0D, 3]))
                 return cps
 
             def y_out(tt):
@@ -490,24 +513,26 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                 rs = t * TX
                 cps = [
                     pltpu.make_async_copy(u1_h.at[pl.ds(rs, TX + 2)],
-                                          slab.at[t % 3], sem_in.at[t % 3, 0]),
+                                          slab.at[t % SLD],
+                                          sem_in.at[t % 3, 0]),
                     pltpu.make_async_copy(u0_h.at[pl.ds(rs + 1, TX)],
-                                          u0b.at[t % 2], sem_in.at[t % 3, 1]),
+                                          u0b.at[t % U0D],
+                                          sem_in.at[t % 3, 1]),
                 ]
                 if not NOFULL:
                     cps.append(
                         pltpu.make_async_copy(adj_h.at[pl.ds(rs + 1, TX)],
-                                              adjb.at[t % 3],
+                                              adjb.at[t % SLD],
                                               sem_in.at[t % 3, 2]))
                 if AZ:
                     cps.append(
                         pltpu.make_async_copy(zadj_h.at[pl.ds(rs + 1, TX)],
-                                              zadr.at[t % 3],
+                                              zadr.at[t % SLD],
                                               sem_az.at[t % 3]))
                 if AY:
                     cps.append(
                         pltpu.make_async_copy(yadj_h.at[pl.ds(rs + 1, TX)],
-                                              yadr.at[t % 3],
+                                              yadr.at[t % SLD],
                                               sem_ay.at[t % 3]))
                 return cps
 
@@ -559,6 +584,8 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                 c.start()
 
             start_in(0)
+            if LA == 2 and NXT > 1:
+                start_in(1)
 
             def apply_flips(ref, base_t):
                 """Mirror halo flips on a (TX+2, Nyp, Nzp) slab ref whose
@@ -1441,17 +1468,18 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
 
             # ------------------------------------------------- visit loop
             def loop(t, _):
-                @pl.when(t + 1 < NXT)
+                @pl.when(t + LA < NXT)
                 def _():
-                    start_in(t + 1)
+                    start_in(t + LA)
 
                 # ------------- stage 1: u2 rows of tile t (step n)
                 @pl.when(t < NXT)
                 def _():
                     wait_in(t)
-                    slot = t % 3
-                    pslot = t % 2
-                    apply_flips(slab.at[slot], t)
+                    slot = t % 3          # u2r output ring (3-deep)
+                    islot = t % SLD       # slab/adj/sf input rings
+                    pslot = t % U0D
+                    apply_flips(slab.at[islot], t)
 
                     @pl.when(t >= 3)
                     def _():
@@ -1473,10 +1501,10 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                         u2r[slot, :, yc:yc + hy, :] = v
 
                     def rs1(xo, ylo, hy):
-                        return slab[slot, xo:xo + TX, ylo:ylo + hy, :]
+                        return slab[islot, xo:xo + TX, ylo:ylo + hy, :]
 
                     def ra1(yc, hy):
-                        return adjb[slot, :, yc:yc + hy, :]
+                        return adjb[islot, :, yc:yc + hy, :]
 
                     def rp1(yc, hy):
                         return u0b[pslot, :, yc:yc + hy, :]
@@ -1484,15 +1512,15 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                     stencil_into(w2, rs1, ra1, rp1)
                     if NOFULL:
                         def rdf1(z):
-                            return slab[slot, 0:TX + 2, :, z]
+                            return slab[islot, 0:TX + 2, :, z]
 
                         def rd1(dx, y, z):
-                            return slab[slot, 1 + dx:1 + dx + TX, y, z]
+                            return slab[islot, 1 + dx:1 + dx + TX, y, z]
 
                         def rp1s(y, z):
                             return u0b[pslot, :, y, z]
 
-                        adj_fixup(u2r, slot, rdf1, rd1, rp1s, t % 3)
+                        adj_fixup(u2r, slot, rdf1, rd1, rp1s, t % SLD)
                         for p in range(AX):
                             xr = xa_rows[p]
                             t1 = (xr - 1) // TX
@@ -1503,21 +1531,21 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                                 adj_fixup_xrow(
                                     u2r, slot, r, p,
                                     lambda dx, ysl, r=r:
-                                        slab[slot, 1 + r + dx, ysl, :],
+                                        slab[islot, 1 + r + dx, ysl, :],
                                     lambda ysl, r=r: u0b[pslot, r, ysl, :])
                     apply_abc(u2r, slot, t, u0b, pslot, 0)
                     if PZ:
                         zplane_stage(u2r, slot, u0b, pslot, 0,
-                                     zvi.at[t % 2], zgi.at[t % 2],
-                                     zvo.at[t % 2], zgo.at[t % 2], t % 3,
-                                     uin=zui.at[t % 3] if CARRY else None,
+                                     zvi.at[t % U0D], zgi.at[t % U0D],
+                                     zvo.at[t % 2], zgo.at[t % 2], t % SLD,
+                                     uin=zui.at[t % SLD] if CARRY else None,
                                      uout=zuo.at[t % 2] if CARRY else None,
                                      sidx=0)
                     if PY:
                         yplane_stage(u2r, slot, u0b, pslot, 0,
-                                     yvi.at[t % 2], ygi.at[t % 2],
-                                     yvo.at[t % 2], ygo.at[t % 2], t % 3,
-                                     uin=yui.at[t % 3] if CARRY else None,
+                                     yvi.at[t % U0D], ygi.at[t % U0D],
+                                     yvo.at[t % 2], ygo.at[t % 2], t % SLD,
+                                     uin=yui.at[t % SLD] if CARRY else None,
                                      uout=yuo.at[t % 2] if CARRY else None,
                                      sidx=0)
                     if PX:
@@ -1532,7 +1560,7 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                             @pl.when(t == t1)
                             def _(p=p, t1=t1, r=r):
                                 xplane_pass(u2r, t1 % 3, r, p,
-                                            u0b.at[t1 % 2], r, True,
+                                            u0b.at[t1 % U0D], r, True,
                                             has_prev=(xpass_first is not None
                                                       and (p, True)
                                                       != xpass_first))
@@ -1566,7 +1594,7 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                         out3_copy(tt - 2).wait()
 
                     oslot = tt % 2
-                    aslot = tt % 3
+                    aslot = tt % SLD      # slab/adj/sf input rings
 
                     def w3(yc, hy, v):
                         u3b[oslot, :, yc:yc + hy, :] = v
@@ -1591,7 +1619,8 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                         def rp2s(y, z):
                             return slab[aslot, 1:1 + TX, y, z]
 
-                        adj_fixup(u3b, oslot, rdf2, rd2, rp2s, tt % 3)
+                        adj_fixup(u3b, oslot, rdf2, rd2, rp2s,
+                                  tt % SLD)
                         for p in range(AX):
                             xr = xa_rows[p]
                             t1 = (xr - 1) // TX
@@ -1611,8 +1640,10 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                         # stage 1; advance it to state^{n+2} IN PLACE
                         zplane_stage(u3b, oslot, slab, aslot, 1,
                                      zvo.at[tt % 2], zgo.at[tt % 2],
-                                     zvo.at[tt % 2], zgo.at[tt % 2], tt % 3,
-                                     uin=zui.at[tt % 3] if CARRY else None,
+                                     zvo.at[tt % 2], zgo.at[tt % 2],
+                                     tt % SLD,
+                                     uin=(zui.at[tt % SLD] if CARRY
+                                          else None),
                                      uout=zuo.at[tt % 2] if CARRY else None,
                                      sidx=1)
                         for c in z_out(tt):
@@ -1620,8 +1651,10 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                     if PY:
                         yplane_stage(u3b, oslot, slab, aslot, 1,
                                      yvo.at[tt % 2], ygo.at[tt % 2],
-                                     yvo.at[tt % 2], ygo.at[tt % 2], tt % 3,
-                                     uin=yui.at[tt % 3] if CARRY else None,
+                                     yvo.at[tt % 2], ygo.at[tt % 2],
+                                     tt % SLD,
+                                     uin=(yui.at[tt % SLD] if CARRY
+                                          else None),
                                      uout=yuo.at[tt % 2] if CARRY else None,
                                      sidx=1)
                         for c in y_out(tt):
@@ -1640,8 +1673,8 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
                                 # a stage-2 pass is never first in the
                                 # static order (its stage 1 precedes it)
                                 xplane_pass(u3b, t1 % 2, r, p,
-                                            slab.at[t1 % 3], 1 + r, False,
-                                            has_prev=True)
+                                            slab.at[t1 % SLD], 1 + r,
+                                            False, has_prev=True)
                     if NST:
                         stray_pass(u3b, oslot, slab, aslot, 1, tt, False)
                     if Nin:
@@ -1673,9 +1706,10 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
 
         plane = (Nyp, Nzp)
         scratch = dict(
-            slab=pltpu.VMEM((3, TX + 2) + plane, dtype),
-            u0b=pltpu.VMEM((2, TX) + plane, dtype),
-            adjb=pltpu.VMEM((1, 1) if NOFULL else ((3, TX) + plane), adt),
+            slab=pltpu.VMEM((SLD, TX + 2) + plane, dtype),
+            u0b=pltpu.VMEM((U0D, TX) + plane, dtype),
+            adjb=pltpu.VMEM((1, 1) if NOFULL
+                            else ((SLD, TX) + plane), adt),
             u2r=pltpu.VMEM((3, TX) + plane, dtype),
             slab2=pltpu.VMEM((TX + 2,) + plane, dtype),
             u3b=pltpu.VMEM((2, TX) + plane, dtype),
@@ -1696,12 +1730,13 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
         scratch["sem_ax"] = pltpu.SemaphoreType.DMA((1,))
         if PZ:
             zs = (2, TX, PZ, MZ, Nyw)
+            zsi = (U0D, TX, PZ, MZ, Nyw)
             scratch.update(
-                zvi=pltpu.VMEM(zs, dtype), zgi=pltpu.VMEM(zs, dtype),
+                zvi=pltpu.VMEM(zsi, dtype), zgi=pltpu.VMEM(zsi, dtype),
                 zvo=pltpu.VMEM(zs, dtype), zgo=pltpu.VMEM(zs, dtype),
-                zsf=pltpu.VMEM((3, TX, PZ8, Nyw), dtype),
+                zsf=pltpu.VMEM((SLD, TX, PZ8, Nyw), dtype),
                 zst=pltpu.VMEM((2, TX, PZ8, Nyw), dtype),
-                sem_zin=pltpu.SemaphoreType.DMA((2, 4)),
+                sem_zin=pltpu.SemaphoreType.DMA((U0D, 4)),
                 sem_zout=pltpu.SemaphoreType.DMA((2, 3)))
         else:
             for k in ("zvi", "zgi", "zvo", "zgo", "zsf", "zst"):
@@ -1709,19 +1744,20 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
             scratch["sem_zin"] = pltpu.SemaphoreType.DMA((1,))
             scratch["sem_zout"] = pltpu.SemaphoreType.DMA((1,))
         if PZ and CARRY:
-            scratch["zui"] = pltpu.VMEM((3, TX, S2PZ, Nyw), dtype)
+            scratch["zui"] = pltpu.VMEM((SLD, TX, S2PZ, Nyw), dtype)
             scratch["zuo"] = pltpu.VMEM((2, TX, S2PZ, Nyw), dtype)
         else:
             scratch["zui"] = pltpu.VMEM((1, 1), dtype)
             scratch["zuo"] = pltpu.VMEM((1, 1), dtype)
         if PY:
             ys_ = (2, TX, PY, MZ, WY)
+            ysi = (U0D, TX, PY, MZ, WY)
             scratch.update(
-                yvi=pltpu.VMEM(ys_, dtype), ygi=pltpu.VMEM(ys_, dtype),
+                yvi=pltpu.VMEM(ysi, dtype), ygi=pltpu.VMEM(ysi, dtype),
                 yvo=pltpu.VMEM(ys_, dtype), ygo=pltpu.VMEM(ys_, dtype),
-                ysf=pltpu.VMEM((3, TX, PY8, WY), dtype),
+                ysf=pltpu.VMEM((SLD, TX, PY8, WY), dtype),
                 yst=pltpu.VMEM((2, TX, PY8, WY), dtype),
-                sem_yin=pltpu.SemaphoreType.DMA((2, 4)),
+                sem_yin=pltpu.SemaphoreType.DMA((U0D, 4)),
                 sem_yout=pltpu.SemaphoreType.DMA((2, 3)))
         else:
             for k in ("yvi", "ygi", "yvo", "ygo", "ysf", "yst"):
@@ -1729,7 +1765,7 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
             scratch["sem_yin"] = pltpu.SemaphoreType.DMA((1,))
             scratch["sem_yout"] = pltpu.SemaphoreType.DMA((1,))
         if PY and CARRY:
-            scratch["yui"] = pltpu.VMEM((3, TX, S2PY, WY), dtype)
+            scratch["yui"] = pltpu.VMEM((SLD, TX, S2PY, WY), dtype)
             scratch["yuo"] = pltpu.VMEM((2, TX, S2PY, WY), dtype)
         else:
             scratch["yui"] = pltpu.VMEM((1, 1), dtype)
@@ -1861,9 +1897,26 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
     return fused
 
 
+def lookahead_bytes_per_row(planes, itemsize: int = 4,
+                            carry: bool = False) -> int:
+    """Extra VMEM bytes per TX row that input lookahead LA=2 costs: one
+    more vi+gi state slot + one more ssaf slot per z/y family (+ one
+    carry-ring slot under u2b-carry).  The extra u0b/slab/adj blocks are
+    counted by pick_tile_pair's `lookahead` argument."""
+    b = 0
+    if planes is not None:
+        for pp in (planes.z, planes.y):
+            if pp is not None:
+                W = pp.ssaf.shape[2]
+                b += (pp.P * 2 * pp.MZ + pp.ssaf.shape[1]) * W * itemsize
+                if carry:
+                    b += carry_pad(pp.P) * W * itemsize
+    return b
+
+
 def pick_tile_pair(Nyp, Nzp, adj_bytes=2, dtype_bytes=4,
                    budget_bytes=88 * 1024 * 1024,
-                   state_bytes=0) -> int:
+                   state_bytes=0, lookahead: int = 1) -> int:
     """Largest TX whose pair-kernel scratch fits the VMEM budget.
 
     The budget leaves ~45 MB of the 128 MB VMEM for Mosaic's stack
@@ -1879,14 +1932,21 @@ def pick_tile_pair(Nyp, Nzp, adj_bytes=2, dtype_bytes=4,
     if env:
         budget_bytes = int(float(env) * 1024 * 1024)
     plane = Nyp * Nzp
-    for TX in (8, 6, 4, 3):
+    # TX=6 measured HEALTHY on rigid scenes (164-Mvox box: 33.1 GVPS,
+    # round 3) but pathological when plane states ride in-kernel: the
+    # real Musikverein ran 33.0 ms/step at TX=6 vs 26.0 at TX=4 (round
+    # 5, identical stray plans) — near-limit VMEM pressure with the
+    # state rings resident.  Offer 6 only to state-free (rigid) scenes.
+    cands = (8, 6, 4, 3) if state_bytes == 0 else (8, 4, 3)
+    for TX in cands:
+        la = max(1, lookahead)
         need = plane * (
-            3 * (TX + 2) * dtype_bytes        # u1 slab ring
-            + 2 * TX * dtype_bytes            # u0 blocks
-            + 3 * TX * adj_bytes              # adj ring
-            + 3 * TX * dtype_bytes            # u2 ring
-            + (TX + 2) * dtype_bytes          # slab2
-            + 2 * TX * dtype_bytes)           # u3 staging
+            (2 + la) * (TX + 2) * dtype_bytes  # u1 slab ring
+            + (1 + la) * TX * dtype_bytes      # u0 blocks
+            + (2 + la) * TX * adj_bytes        # adj ring
+            + 3 * TX * dtype_bytes             # u2 ring
+            + (TX + 2) * dtype_bytes           # slab2
+            + 2 * TX * dtype_bytes)            # u3 staging
         need += TX * state_bytes
         if need <= budget_bytes:
             return TX

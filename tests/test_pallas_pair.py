@@ -14,9 +14,11 @@ from pffdtd_tpu.demo import synthetic_box_sim
 from pffdtd_tpu.engine.jax_engine import EngineData, JaxEngine, build_step
 
 
-def _run_pair_interpret(sim, nt_run, tile_x=8, adj_planes=False):
+def _run_pair_interpret(sim, nt_run, tile_x=8, adj_planes=False,
+                        lookahead=1):
     data = EngineData(sim.consts, sim.vox, sim.comms, sim.mats,
                       dtype=np.float32, pad_z=128, tile_x=tile_x)
+    data.lookahead = lookahead
     if data.attach_planes():
         data.attach_strays()   # off-plane nodes: in-kernel stray pass
     if adj_planes:
@@ -416,3 +418,21 @@ def test_pair_yplane_z_window(monkeypatch):
         (y.z0, y.ssaf.shape)
     assert data.grid.Nzp == 256
     _compare(sim, tile_x=4)
+
+
+def test_pair_lookahead2_bit_exact(monkeypatch):
+    """Input-DMA lookahead LA=2 only deepens the u0b/state input rings;
+    the math must be BIT-identical to the historical LA=1 schedule
+    (lossy z/y planes + a stray ceiling exercise every input ring)."""
+    monkeypatch.setenv("PFFDTD_ZPLANE_MIN_COUNT", "1")
+    monkeypatch.setenv("PFFDTD_ZPLANE_MIN_DENSITY", "0.3")
+    sim = synthetic_box_sim(2.5, 2.0, 1.6, h=0.1, Nt=24, lossy=True,
+                            insig_type="hann10", diff_source=False)
+    u1 = _run_pair_interpret(sim, 24, tile_x=4)
+    u2 = _run_pair_interpret(sim, 24, tile_x=4, lookahead=2)
+    assert np.array_equal(u1, u2)
+    jx = JaxEngine(consts=sim.consts, vox=sim.vox, comms=sim.comms,
+                   mats=sim.mats, dtype=np.float32, backend="xla")
+    jx.run(nt=24, verbose=False)
+    scale = np.abs(jx.u_out).max()
+    assert np.abs(u2[:, :24] - jx.u_out[:, :24]).max() / scale < 1e-5
