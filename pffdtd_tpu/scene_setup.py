@@ -116,7 +116,7 @@ def sim_setup_from_room(
             fname = (Path(save_folder) / "voxelization.png"
                      if save_folder is not None else Path("voxelization.png"))
             Path(fname).parent.mkdir(parents=True, exist_ok=True)
-        plot_voxelization(vs, fname=fname)
+        plot_voxelization(vs, fname=fname, cut_legs=True, room=room_geo)
 
     consts_data = SimConstsData(
         c=consts.c, h=consts.h, Ts=consts.Ts, SR=consts.SR, l=consts.l,

@@ -92,6 +92,11 @@ def test_vox_viz_smoke(tmp_path):
     f = tmp_path / "vox.png"
     plot_voxelization(vs, fname=f)
     assert f.exists()
+    # the full debug draw: cut-leg segments + room wireframe overlay
+    # (reference vox_scene.py:531-601 draw())
+    f3 = tmp_path / "vox_legs.png"
+    plot_voxelization(vs, fname=f3, cut_legs=True, room=rg)
+    assert f3.exists()
 
 
 def test_live_slice_view(tmp_path):
