@@ -4,3 +4,4 @@ from pffdtd_tpu.geometry.predicates import (  # noqa: F401
     tri_box_intersect,
 )
 from pffdtd_tpu.geometry.room import RoomGeo  # noqa: F401
+from pffdtd_tpu.geometry.box import Box  # noqa: F401

@@ -93,3 +93,34 @@ def test_tri_box_consistency_with_sampling(seed):
         inside = np.all((samples >= bmin) & (samples <= bmax), -1).any()
         if inside:
             assert hit[t], "sampled point inside box but predicate says no hit"
+
+
+def test_box_primitive(tmp_path):
+    """Rotatable box (reference common/box.py): halfspace form agrees
+    with the rotated vertices, AABB is tight, randomise stays valid,
+    and the matplotlib debug draw renders."""
+    from pffdtd_tpu.geometry.box import Box
+
+    rng = np.random.default_rng(7)
+    for _ in range(20):
+        b = Box().randomise(rng)
+        # all 8 corners satisfy A x <= b (to fp tolerance)
+        assert b.contains(b.verts, eps=1e-9).all()
+        # interior point strictly inside, exterior point outside
+        c = b.verts.mean(0)
+        assert b.contains(c)[0]
+        out = c + 2.0 * (b.bmax - b.bmin)
+        assert not b.contains(out)[0]
+        assert np.allclose(b.bmin, b.verts.min(0))
+        assert np.allclose(b.bmax, b.verts.max(0))
+        # volume is preserved by the rigid transform: check via the
+        # triangulation's divergence-theorem volume
+        v = b.verts
+        t = v[b.tris]
+        vol = abs(np.einsum("ij,ij->", np.cross(t[:, 1] - t[:, 0],
+                                                t[:, 2] - t[:, 0]),
+                            t[:, 0]) / 6.0)
+        assert np.isclose(vol, np.prod(b.L), rtol=1e-9)
+    f = tmp_path / "box.png"
+    Box(2, 1, 1, Rang=30.0).draw(fname=f)
+    assert f.exists()
