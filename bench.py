@@ -87,10 +87,15 @@ def _prior_best():
                 prior[rec["metric"]] = max(prior.get(rec["metric"], 0.0),
                                            rec.get("value", 0.0))
             for k, v in rec.get("secondary", {}).items():
+                # throughputs only: error/drift metrics are
+                # lower-is-better and must not enter a max()-aggregated
+                # higher-is-better regression guard
                 if isinstance(v, (int, float)) and ("mvps" in k
                                                     or k.endswith("lossy")
                                                     or k.endswith("rigid")
-                                                    or k.endswith("1e9")):
+                                                    or k.endswith("1e9")) \
+                        and not any(t in k for t in ("rms", "err", "_db",
+                                                     "drift", "balance")):
                     prior[k] = max(prior.get(k, 0.0), v)
         except Exception:  # noqa: BLE001 - guard must not kill the bench
             continue
@@ -119,6 +124,8 @@ def emit():
         "secondary": {k: round(v, 4)
                       for k, v in STATE["secondary"].items()},
     }
+    if STATE.get("headline_note"):
+        out["headline_note"] = STATE["headline_note"]
     regressions = {}
     checks = ([(STATE["metric"], STATE["headline"])]
               if STATE["headline"] is not None else [])
@@ -529,6 +536,9 @@ def main():
         print("  headline failed; retrying at half scale",
               file=sys.stderr, flush=True)
         res = _run_child("fcc_lossy_half", remaining() - 60)
+        if res:
+            # never pass a 1/8-volume grid off as the full-scale metric
+            STATE["headline_note"] = "half_scale_fallback_grid"
     STATE["headline"] = (res or {}).get("__headline__")
     emit()
 

@@ -962,13 +962,16 @@ class JaxEngine:
                                              data.planes) if uc_ else 0)
                                          + lookahead_bytes_per_row(
                                              data.planes, carry=uc_))
-                                if tp != pick_tile_pair(
+                                # <=: a pinned tp below the affordable
+                                # TX still fits; tp == 2 is the picker's
+                                # unvalidated floor, so LA stays 1 there
+                                if tp <= 2 or tp > pick_tile_pair(
                                         Nyp, Nzp,
                                         adj_bytes=0 if nofull else adjb,
                                         state_bytes=sb_la, lookahead=la):
                                     print("--ENGINE(jax): PFFDTD_PAIR_LA"
-                                          f"={la} would shrink TX={tp}; "
-                                          "keeping LA=1")
+                                          f"={la} does not fit VMEM at "
+                                          f"TX={tp}; keeping LA=1")
                                     la = 1
                             data.lookahead = la
                         if use_strays:
@@ -984,7 +987,12 @@ class JaxEngine:
         elif backend == "pallas_pair" and tile_x is None:
             from pffdtd_tpu.engine.pallas_pair import pick_tile_pair
 
-            tile_x = pick_tile_pair(Nyp, Nzp, adj_bytes=adjb)
+            # explicit-backend path: a token state_bytes keeps TX=6 off
+            # the table for lossy scenes (the engine attaches plane
+            # states below; TX=6 with states measured VMEM thrash)
+            lossy_ = bool(np.any(np.asarray(vox.mat_bn) >= 0))
+            tile_x = pick_tile_pair(Nyp, Nzp, adj_bytes=adjb,
+                                    state_bytes=1 if lossy_ else 0)
         elif backend == "pallas_tb" and tile_x is None:
             from pffdtd_tpu.engine.pallas_tb import pick_tile_tb
 

@@ -1720,10 +1720,10 @@ def build_fused_pair(grid, sc, fcc: bool, dtype=jnp.float32, TX: int = 8,
         )
         Wy = -(-Nyp // 128) * 128
         AZ8, AY8 = -(-AZ // 8) * 8, -(-AY // 8) * 8
-        scratch["zadr"] = pltpu.VMEM((3, TX, AZ8, Wy) if AZ else (1, 1),
-                                     jnp.int32)
-        scratch["yadr"] = pltpu.VMEM((3, TX, AY8, Nzp) if AY else (1, 1),
-                                     jnp.int32)
+        scratch["zadr"] = pltpu.VMEM((SLD, TX, AZ8, Wy) if AZ
+                                     else (1, 1), jnp.int32)
+        scratch["yadr"] = pltpu.VMEM((SLD, TX, AY8, Nzp) if AY
+                                     else (1, 1), jnp.int32)
         scratch["xadb"] = pltpu.VMEM((Nyp, Nzp) if AX else (1, 1), jnp.int32)
         scratch["sem_az"] = pltpu.SemaphoreType.DMA((3,) if AZ else (1,))
         scratch["sem_ay"] = pltpu.SemaphoreType.DMA((3,) if AY else (1,))

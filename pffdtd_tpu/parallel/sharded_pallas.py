@@ -410,7 +410,13 @@ class ShardedPairEngine:
         S = (g.Nx - 2) // D
         self.S = S
         adjb = 2 if d.NN == 12 else 1
-        TX = tile_x or pick_tile_pair(g.Nyp, g.Nzp, adj_bytes=adjb)
+        # thread the plane-state VMEM into the tile pick like the
+        # single-device auto path does (the sharded kernel carries the
+        # same in-kernel state rings; carry is disabled when sharded)
+        sb = (planes.state_bytes_per_row(tb=2)
+              if planes is not None else 0)
+        TX = tile_x or pick_tile_pair(g.Nyp, g.Nzp, adj_bytes=adjb,
+                                      state_bytes=sb)
         while TX > S + 2:
             TX = max(1, TX // 2)
         NXT = -(-(S + 2) // TX)

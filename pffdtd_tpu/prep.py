@@ -81,7 +81,7 @@ def pad_x_interior(sim: SimData, D: int, interior: bool = True) -> SimData:
         xv=np.r_[vox.xv, vox.xv[-1] + vox.h * np.arange(1, add + 1)]))
 
 
-def orientation_scores(N, faces, fcc: int) -> list:
+def orientation_scores(N, faces, fcc: int, lossy: bool = True) -> list:
     """ns/step score of putting axis k on z, for k in 0..2.
 
     Recalibrated round 4 against the MV orientation experiments + the
@@ -114,7 +114,13 @@ def orientation_scores(N, faces, fcc: int) -> list:
         nyp = -(-ny // 8) * 8
         nzp = -(-N[k] // 128) * 128
         npad = (N[rest[0]] + 2) * nyp * nzp
-        tx = pick_tile_pair(nyp, nzp, adj_bytes=2)
+        # lossy scenes carry in-kernel plane states: pick_tile_pair
+        # refuses TX=6 for them (measured VMEM thrash, round 5), so the
+        # score must use the TX the engine will actually run.  A token
+        # state_bytes=1 selects the with-states candidate list without
+        # perturbing the budget.
+        tx = pick_tile_pair(nyp, nzp, adj_bytes=2,
+                            state_bytes=1 if lossy else 0)
         score.append(TX_RATE.get(int(tx), 0.06) * npad
                      + 0.05 * int(faces[k]))
     return score
@@ -137,7 +143,8 @@ def rotate_sim(sim: SimData, tr=None, orient: str = "auto") -> SimData:
         if orient == "auto" and vox.Nb:
             faces = boundary_face_counts(vox)
             fcc = int(getattr(sim.consts, "fcc_flag", 0))
-            score = orientation_scores(N, faces, fcc)
+            lossy = bool(np.any(np.asarray(vox.mat_bn) >= 0))
+            score = orientation_scores(N, faces, fcc, lossy=lossy)
             zax = int(np.argmin(score))
             rest = [k for k in range(3) if k != zax]
             rest.sort(key=lambda k: -N[k])
