@@ -121,7 +121,10 @@ def emit():
         "vs_baseline": (round(STATE["headline"] / BASELINE_MVPS, 4)
                         if STATE["headline"] is not None else None),
         "elapsed_s": round(elapsed(), 1),
-        "secondary": {k: round(v, 4)
+        # significant-figure rounding: round(v, 4) crushed small error
+        # metrics (7.7e-6 reported as 0.0 in the r5 session capture)
+        "secondary": {k: (round(v, 4) if abs(v) >= 1e-3
+                          else float(f"{v:.3g}"))
                       for k, v in STATE["secondary"].items()},
     }
     if STATE.get("headline_note"):
