@@ -557,7 +557,12 @@ def main():
                   f"{remaining():.0f}s", file=sys.stderr, flush=True)
             continue
         t = time.perf_counter()
-        res = _run_child(name, remaining() - 30)
+        # cap each item's timeout relative to its own estimate: remote
+        # compiles are occasionally 6-10x slow (fcc_rigid 202s one run,
+        # 1256s the next, same code), and one pathological item must
+        # not starve every cheaper item behind it in the queue
+        res = _run_child(name, min(remaining() - 30,
+                                   max(3 * est, est + 600)))
         if res:
             STATE["secondary"].update(
                 {k: v for k, v in res.items() if v is not None})
